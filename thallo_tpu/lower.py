@@ -1,0 +1,659 @@
+"""Lowering: residual groups -> pure JAX functions.
+
+This module replaces the reference's entire kernel compiler
+(`createfunction`, /root/reference/API/src/thallo.t:2332-3455, plus the
+derived-function generators thallo.t:3531-3948).  The TPU-first design:
+
+* Each residual group iterates a grid = (external domains) x (contracted
+  domains) (the reference's ResidualDomain full/external split,
+  /root/reference/API/src/ir.t:59, thallo.t:5821-5884).
+* Every image access in the group becomes a **slot**: an array of gathered
+  values aligned to the grid.  Grid-offset accesses lower to `jnp.roll`
+  (wrap/torus semantics identical to the reference's `Index:wrap()`,
+  thallo.t:609-738); everything else is a vectorized gather.  A slot's
+  transpose (scatter) is the inverse roll — exact and atomics-free — or a
+  `segment_sum` (the TPU analog of the reference's warp-aggregated atomic
+  scatter, cuda_util.t:334-429).
+* The residual is an **elementwise local function** of slot values, vmapped
+  over the external grid.  ALL derivatives (J.p via jvp, J^T.q via vjp,
+  per-point Jacobian blocks via vmap(jacrev)) come from JAX; XLA fuses the
+  result.  This replaces symbolic autodiff (ad.t) and hand-scheduled PTX
+  with tracing + the XLA TPU backend.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dims import AffineComp, IndexDomain, SparseComp
+from .expr import (
+    Apply,
+    BoundsAccess,
+    Const,
+    Exp,
+    ImageAccess,
+    IndexValue,
+    ParamValue,
+    Reduction,
+    SampleAccess,
+)
+from .inputs import Image
+from .ops.sampling import bilinear_sample, sample_with_deriv_images
+
+
+# ---------------------------------------------------------------------------
+# collection: walk the expression DAG
+# ---------------------------------------------------------------------------
+class SlotSpec:
+    """One distinct (image, index) access in a group: all channels are
+    gathered together (the analog of the reference's per-access vectorized
+    loads, thallo.t:2407-2468)."""
+
+    def __init__(self, image: Image, comps: Tuple[AffineComp, ...], is_unknown: bool):
+        self.image = image
+        self.comps = comps
+        self.is_unknown = is_unknown
+        self.dep_cons: Tuple[IndexDomain, ...] = ()  # filled by finalize
+
+    @property
+    def key(self):
+        return (id(self.image), self.comps)
+
+    def __repr__(self):
+        return f"slot:{self.image.name}({','.join(map(repr, self.comps))})"
+
+
+class Collection:
+    def __init__(self):
+        self.ext_domains: List[IndexDomain] = []
+        self.con_domains: List[IndexDomain] = []
+        self.uslots: Dict = {}  # key -> SlotSpec (unknown images)
+        self.cslots: Dict = {}  # key -> SlotSpec (const arrays)
+        self.bounds: Dict = {}  # key -> BoundsAccess
+        self.ivals: Dict = {}  # key -> IndexValue
+        self.params: Dict = {}  # name -> Param
+        self.sampled: Dict = {}  # name -> SampledImage
+        self._seen = set()
+
+    def _domain(self, d: IndexDomain, bound):
+        if d in bound:
+            if d not in self.con_domains:
+                self.con_domains.append(d)
+        else:
+            if d not in self.ext_domains:
+                self.ext_domains.append(d)
+
+    def _comps_domains(self, comps, bound):
+        for c in comps:
+            for d in c.domains():
+                self._domain(d, bound)
+
+    def walk(self, e: Exp, bound: frozenset):
+        key = (id(e), bound)
+        if key in self._seen:
+            return
+        self._seen.add(key)
+        if isinstance(e, Const):
+            return
+        if isinstance(e, Apply):
+            for a in e.args:
+                self.walk(a, bound)
+            return
+        if isinstance(e, Reduction):
+            inner = bound | frozenset(e.domains)
+            for d in e.domains:
+                if d not in self.con_domains:
+                    self.con_domains.append(d)
+            self.walk(e.arg, inner)
+            return
+        if isinstance(e, ImageAccess):
+            self._comps_domains(e.comps, bound)
+            im = e.image
+            if im.kind == "computed" and not im.materialize:
+                raise RuntimeError("computed arrays must be inlined before lowering")
+            target = self.uslots if im.kind == "unknown" else self.cslots
+            k = (id(im), e.comps)
+            if k not in target:
+                target[k] = SlotSpec(im, e.comps, im.kind == "unknown")
+            return
+        if isinstance(e, BoundsAccess):
+            self._comps_domains(e.comps, bound)
+            k = ("bounds", e.comps, e.dims, e.expand)
+            self.bounds.setdefault(k, e)
+            return
+        if isinstance(e, IndexValue):
+            for d in e.comp.domains():
+                self._domain(d, bound)
+            k = ("ival", e.comp)
+            self.ivals.setdefault(k, e)
+            return
+        if isinstance(e, ParamValue):
+            self.params.setdefault(e.param.name, e.param)
+            return
+        if isinstance(e, SampleAccess):
+            for c in e.coords:
+                self.walk(c, bound)
+            self.sampled.setdefault(e.sampled.name, e.sampled)
+            return
+        raise TypeError(f"unknown expression node {e!r}")
+
+    def finalize(self):
+        conset = set(self.con_domains)
+        for slots in (self.uslots, self.cslots):
+            for s in slots.values():
+                deps = []
+                for c in s.comps:
+                    for d in c.domains():
+                        if d in conset and d not in deps:
+                            deps.append(d)
+                s.dep_cons = tuple(sorted(deps, key=self.con_domains.index))
+
+
+# ---------------------------------------------------------------------------
+# computed-array inlining (substitution)
+# ---------------------------------------------------------------------------
+def substitute_index(comp: AffineComp, mapping) -> AffineComp:
+    """Affine-compose an index component through a domain substitution."""
+    out = AffineComp((), comp.offset)
+    for base, coeff in comp.terms:
+        if isinstance(base, IndexDomain):
+            if base in mapping:
+                out = out + coeff * mapping[base]
+            else:
+                out = out + coeff * AffineComp(((base, 1),), 0)
+        else:  # SparseComp: substitute inside args
+            new_args = tuple(substitute_index(a, mapping) for a in base.args)
+            out = out + coeff * AffineComp(
+                ((SparseComp(base.sparse, new_args, base.component), 1),), 0
+            )
+    return out
+
+
+def substitute_expr(e: Exp, mapping, cache=None) -> Exp:
+    cache = cache if cache is not None else {}
+    if id(e) in cache:
+        return cache[id(e)]
+    if isinstance(e, Const):
+        r = e
+    elif isinstance(e, Apply):
+        r = Apply(e.op, tuple(substitute_expr(a, mapping, cache) for a in e.args))
+    elif isinstance(e, Reduction):
+        r = Reduction(e.domains, substitute_expr(e.arg, mapping, cache))
+    elif isinstance(e, ImageAccess):
+        comps = tuple(substitute_index(c, mapping) for c in e.comps)
+        im = e.image
+        if im.kind == "computed" and not im.materialize:
+            # inline the computed array's defining expression at this index
+            inner_map = {d: c for d, c in zip(im.domains, comps)}
+            r = substitute_expr(im.expression[e.channel], inner_map, {})
+        else:
+            r = ImageAccess(im, comps, e.channel)
+    elif isinstance(e, BoundsAccess):
+        r = BoundsAccess(tuple(substitute_index(c, mapping) for c in e.comps), e.dims, e.expand)
+    elif isinstance(e, IndexValue):
+        r = IndexValue(substitute_index(e.comp, mapping))
+    elif isinstance(e, ParamValue):
+        r = e
+    elif isinstance(e, SampleAccess):
+        r = SampleAccess(
+            e.sampled, tuple(substitute_expr(c, mapping, cache) for c in e.coords), e.channel
+        )
+    else:
+        raise TypeError(f"unknown node {e!r}")
+    cache[id(e)] = r
+    return r
+
+
+def inline_computed(exprs: List[Exp]) -> List[Exp]:
+    """Expand inline (non-materialized) ComputedArray accesses."""
+    return [substitute_expr(e, {}, {}) for e in exprs]
+
+
+# ---------------------------------------------------------------------------
+# op evaluation table
+# ---------------------------------------------------------------------------
+def _as_pred(x):
+    return x != 0
+
+
+def _make_ops(dtype):
+    f = lambda b: b.astype(dtype)  # noqa: E731
+    return {
+        "add": jnp.add,
+        "sub": jnp.subtract,
+        "mul": jnp.multiply,
+        "div": jnp.divide,
+        "pow": jnp.power,
+        "neg": jnp.negative,
+        "abs": jnp.abs,
+        "sin": jnp.sin,
+        "cos": jnp.cos,
+        "tan": jnp.tan,
+        "asin": jnp.arcsin,
+        "acos": jnp.arccos,
+        "atan": jnp.arctan,
+        "sqrt": jnp.sqrt,
+        "exp": jnp.exp,
+        "log": jnp.log,
+        "min": jnp.minimum,
+        "max": jnp.maximum,
+        "select": lambda c, a, b: jnp.where(_as_pred(c), a, b),
+        "eq": lambda a, b: f(a == b),
+        "neq": lambda a, b: f(a != b),
+        "greater": lambda a, b: f(a > b),
+        "greatereq": lambda a, b: f(a >= b),
+        "less": lambda a, b: f(a < b),
+        "lesseq": lambda a, b: f(a <= b),
+        "and": lambda a, b: f(_as_pred(a) & _as_pred(b)),
+        "or": lambda a, b: f(_as_pred(a) | _as_pred(b)),
+        "not": lambda a: f(~_as_pred(a)),
+        "constant": jax.lax.stop_gradient,
+    }
+
+
+# ---------------------------------------------------------------------------
+# index evaluation over a subgrid
+# ---------------------------------------------------------------------------
+class _IndexEnv:
+    """Evaluates AffineComp/SparseComp index expressions to int32 arrays
+    over a (sub)grid [*ext_shape, *dep_con_shape]."""
+
+    def __init__(self, axes: Dict[IndexDomain, int], shape: Tuple[int, ...], sparse_data):
+        self.axes = axes  # domain -> axis position
+        self.shape = shape
+        self.sparse_data = sparse_data  # name -> [prod(in_dims), n_out] int32
+
+    def eval(self, comp: AffineComp):
+        val = jnp.full(self.shape, comp.offset, dtype=jnp.int32)
+        for base, coeff in comp.terms:
+            if isinstance(base, IndexDomain):
+                val = val + coeff * jax.lax.broadcasted_iota(jnp.int32, self.shape, self.axes[base])
+            else:
+                val = val + coeff * self.eval_sparse(base)
+        return val
+
+    def eval_sparse(self, sc: SparseComp):
+        sm = sc.sparse
+        in_sizes = [d.size for d in sm.in_dims]
+        flat = self.eval(sc.args[0]) % in_sizes[0]
+        for a, n in zip(sc.args[1:], in_sizes[1:]):
+            flat = flat * n + (self.eval(a) % n)
+        data = self.sparse_data[sm.name]  # [prod(in_dims), n_out]
+        return jnp.take(data[:, sc.component], flat, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# the lowered group
+# ---------------------------------------------------------------------------
+class LoweredGroup:
+    """A residual group compiled against concrete dim sizes.
+
+    Solver-facing API (see solver/gn.py):
+      residuals(X, inputs, consts)     -> [R, rc]
+      point_jacobians(X, inputs, consts)
+          -> (r [R, rc], jacs: list of [R, rc, *dep_con_shape, C])
+      gather_slot(i, X, inputs)        -> [R, *dep_con_shape, C]
+      scatter_slot(i, vals, inputs)    -> image-shaped sum-scatter
+    """
+
+    def __init__(self, name: str, exprs: List[Exp], spec, sizes: Dict[str, int], dtype):
+        self.name = name
+        self.dtype = dtype
+        self.spec = spec
+        exprs = inline_computed(exprs)
+        self.exprs = exprs
+        col = Collection()
+        for e in exprs:
+            col.walk(e, frozenset())
+        col.finalize()
+        self.col = col
+        self.ext_domains = col.ext_domains
+        self.con_domains = col.con_domains
+        both = set(self.ext_domains) & set(self.con_domains)
+        if both:
+            raise ValueError(f"domains used both inside and outside Sum: {both}")
+        self.ext_shape = tuple(d.dim.size for d in self.ext_domains)
+        self.con_shape = tuple(d.dim.size for d in self.con_domains)
+        self.R = int(np.prod(self.ext_shape)) if self.ext_shape else 1
+        self.uslots: List[SlotSpec] = list(col.uslots.values())
+        self.cslots: List[SlotSpec] = list(col.cslots.values())
+        self.rc = len(exprs)
+        self._F = self._make_local_fn()
+
+    # -- slot index machinery ----------------------------------------------
+    def _slot_axes(self, dep_cons):
+        axes = {d: i for i, d in enumerate(self.ext_domains)}
+        shape = list(self.ext_shape)
+        for d in dep_cons:
+            axes[d] = len(shape)
+            shape.append(d.dim.size)
+        return axes, tuple(shape)
+
+    def _roll_plan(self, slot: SlotSpec):
+        """If this slot is a pure grid-offset access over distinct external
+        domains matching the image's axes, return (ext_axis_per_image_axis,
+        shifts).  Gather == jnp.roll; scatter == inverse jnp.roll: the TPU
+        fast path for stencils, replacing bounds-checked neighbor loads +
+        atomic scatters (reference thallo.t:3340-3418)."""
+        if slot.dep_cons:
+            return None
+        im = slot.image
+        used, shifts = [], []
+        for j, c in enumerate(slot.comps):
+            so = c.as_single_offset()
+            if so is None:
+                return None
+            d, off = so
+            if d not in self.ext_domains or d.dim is not im.dims[j]:
+                return None
+            used.append(self.ext_domains.index(d))
+            shifts.append(off)
+        if len(set(used)) != len(used):
+            return None
+        return used, shifts
+
+    def _sparse_arrays(self, inputs):
+        out = {}
+        for sm in self.spec.sparse_maps:
+            if inputs is not None and sm.name in inputs:
+                arr = jnp.asarray(inputs[sm.name], dtype=jnp.int32)
+                n_out = len(sm.out_dims)
+                if arr.ndim == 1 and n_out == 1:
+                    arr = arr[:, None]
+                out[sm.name] = arr.reshape(-1, n_out)
+        return out
+
+    def _slot_flat_indices(self, slot: SlotSpec, inputs):
+        axes, shape = self._slot_axes(slot.dep_cons)
+        env = _IndexEnv(axes, shape, self._sparse_arrays(inputs))
+        im = slot.image
+        flat = None
+        for j, c in enumerate(slot.comps):
+            n = im.dims[j].size
+            v = env.eval(c) % n
+            flat = v if flat is None else flat * n + v
+        return flat
+
+    # -- gather / scatter ---------------------------------------------------
+    def gather_slot(self, i: int, X: Dict[str, jnp.ndarray], inputs) -> jnp.ndarray:
+        slot = self.uslots[i]
+        return self._gather(slot, X[slot.image.name], inputs)
+
+    def _gather(self, slot: SlotSpec, img, inputs):
+        C = slot.image.channels
+        rp = self._roll_plan(slot)
+        if rp is not None:
+            used, shifts = rp
+            v = img
+            for j, off in enumerate(shifts):
+                if off:
+                    v = jnp.roll(v, -off, axis=j)
+            v = self._place_axes(v, used, C)
+            return v.reshape((self.R, C))
+        flat = self._slot_flat_indices(slot, inputs)
+        src = img.reshape(-1, C)
+        vals = src.at[flat.reshape(-1)].get(mode="promise_in_bounds")
+        dep_shape = tuple(d.dim.size for d in slot.dep_cons)
+        return vals.reshape((self.R,) + dep_shape + (C,))
+
+    def _place_axes(self, v, used, C):
+        """v: rolled image [*imdims, C]; used[j] = ext axis of image axis j.
+        Returns [*ext_shape, C]."""
+        nd = len(self.ext_shape)
+        order = list(np.argsort(used))
+        v = jnp.transpose(v, tuple(order) + (len(used),))
+        present = sorted(used)
+        for a in range(nd):
+            if a not in present:
+                v = jnp.expand_dims(v, axis=a)
+        return jnp.broadcast_to(v, self.ext_shape + (C,))
+
+    def scatter_slot(self, i: int, vals: jnp.ndarray, inputs) -> jnp.ndarray:
+        """Transpose of gather_slot: sum-scatter [R, *dep_con, C] into an
+        image-shaped array (the analog of the reference's atomic add /
+        warp-aggregated scatter)."""
+        slot = self.uslots[i]
+        im = slot.image
+        C = im.channels
+        imshape = tuple(d.size for d in im.dims) + (C,)
+        rp = self._roll_plan(slot)
+        if rp is not None:
+            used, shifts = rp
+            v = vals.reshape(self.ext_shape + (C,))
+            nd = len(self.ext_shape)
+            extra = tuple(a for a in range(nd) if a not in used)
+            if extra:
+                v = jnp.sum(v, axis=extra)
+            inv = np.argsort(np.argsort(used))
+            v = jnp.transpose(v, tuple(inv) + (len(used),))
+            for j, off in enumerate(shifts):
+                if off:
+                    v = jnp.roll(v, off, axis=j)
+            return v
+        flat = self._slot_flat_indices(slot, inputs)
+        data = vals.reshape(-1, C)
+        seg = jax.ops.segment_sum(
+            data, flat.reshape(-1), num_segments=int(np.prod(imshape[:-1]))
+        )
+        return seg.reshape(imshape)
+
+    # -- const values -------------------------------------------------------
+    def _comp_deps(self, comps):
+        conset = set(self.con_domains)
+        deps = []
+        for c in comps:
+            for d in c.domains():
+                if d in conset and d not in deps:
+                    deps.append(d)
+        return tuple(sorted(deps, key=self.con_domains.index))
+
+    def _bounds_value(self, b: BoundsAccess, inputs):
+        deps = self._comp_deps(b.comps)
+        axes, shape = self._slot_axes(deps)
+        env = _IndexEnv(axes, shape, self._sparse_arrays(inputs))
+        ok = None
+        for c, dm in zip(b.comps, b.dims):
+            v = env.eval(c)
+            cond = (v >= b.expand) & (v < dm.size - b.expand)
+            ok = cond if ok is None else (ok & cond)
+        dep_shape = tuple(d.dim.size for d in deps)
+        return ok.astype(self.dtype).reshape((self.R,) + dep_shape), deps
+
+    def _ival_value(self, iv: IndexValue, inputs):
+        deps = self._comp_deps((iv.comp,))
+        axes, shape = self._slot_axes(deps)
+        env = _IndexEnv(axes, shape, self._sparse_arrays(inputs))
+        val = env.eval(iv.comp).astype(self.dtype)
+        dep_shape = tuple(d.dim.size for d in deps)
+        return val.reshape((self.R,) + dep_shape), deps
+
+    def _image_array(self, im, inputs):
+        a = jnp.asarray(inputs[im.name], dtype=self.dtype)
+        return a.reshape(tuple(d.size for d in im.dims) + (im.channels,))
+
+    def prepared_consts(self, inputs):
+        """Everything non-differentiated, computed once per solve setup:
+        const-array slot values, bounds masks, index values, params,
+        sampled images."""
+        cvals = [
+            self._gather(s, self._image_array(s.image, inputs), inputs) for s in self.cslots
+        ]
+        bpairs = [self._bounds_value(b, inputs) for b in self.col.bounds.values()]
+        ipairs = [self._ival_value(v, inputs) for v in self.col.ivals.values()]
+        params = {
+            p.name: jnp.asarray(inputs[p.name], dtype=self.dtype)
+            for p in self.col.params.values()
+        }
+        simgs = {}
+        for name, simg in self.col.sampled.items():
+            arrs = [self._image_array(simg.image, inputs)] + [
+                self._image_array(d, inputs) for d in simg.derivs
+            ]
+            simgs[name] = arrs
+        return {
+            "cvals": cvals,
+            "barrs": [v for v, _ in bpairs],
+            "bdeps": [d for _, d in bpairs],
+            "iarrs": [v for v, _ in ipairs],
+            "ideps": [d for _, d in ipairs],
+            "params": params,
+            "simgs": simgs,
+        }
+
+    # -- the local function -------------------------------------------------
+    def _place_in_con(self, val, dep_cons):
+        """Reshape a value over [*dep_con_shape] to full con rank with 1s at
+        non-dependent positions (row-major insert of singleton axes)."""
+        ncon = len(self.con_domains)
+        if ncon == 0:
+            return val
+        pos = {self.con_domains.index(d) for d in dep_cons}
+        shape = tuple(
+            self.con_domains[a].dim.size if a in pos else 1 for a in range(ncon)
+        )
+        return jnp.reshape(val, shape)
+
+    def _make_local_fn(self):
+        ops = _make_ops(self.dtype)
+        ukeys = {s.key: i for i, s in enumerate(self.uslots)}
+        ckeys = {s.key: i for i, s in enumerate(self.cslots)}
+        bkeys = {k: i for i, k in enumerate(self.col.bounds.keys())}
+        ikeys = {k: i for i, k in enumerate(self.col.ivals.keys())}
+        con_domains = self.con_domains
+        con_shape = self.con_shape
+        exprs = self.exprs
+
+        def F(uvals, cvals, bvals, ivals, bdeps, ideps, params, simgs):
+            cache = {}
+
+            def ev(e: Exp):
+                r = cache.get(id(e))
+                if r is not None:
+                    return r
+                if isinstance(e, Const):
+                    r = jnp.asarray(e.value, dtype=self.dtype)
+                elif isinstance(e, Apply):
+                    r = ops[e.op](*[ev(a) for a in e.args])
+                elif isinstance(e, Reduction):
+                    v = ev(e.arg)
+                    axes = tuple(con_domains.index(d) for d in e.domains)
+                    if jnp.ndim(v) < len(con_domains):
+                        v = jnp.reshape(v, (1,) * len(con_domains))
+                    # expand only the axes being reduced to their full size
+                    tgt = tuple(
+                        con_shape[a] if a in axes else v.shape[a]
+                        for a in range(len(con_domains))
+                    )
+                    v = jnp.broadcast_to(v, tgt)
+                    r = jnp.sum(v, axis=axes, keepdims=True)
+                elif isinstance(e, ImageAccess):
+                    k = (id(e.image), e.comps)
+                    if e.image.kind == "unknown":
+                        i = ukeys[k]
+                        r = self._place_in_con(uvals[i][..., e.channel], self.uslots[i].dep_cons)
+                    else:
+                        i = ckeys[k]
+                        r = self._place_in_con(cvals[i][..., e.channel], self.cslots[i].dep_cons)
+                elif isinstance(e, BoundsAccess):
+                    i = bkeys[("bounds", e.comps, e.dims, e.expand)]
+                    r = self._place_in_con(bvals[i], bdeps[i])
+                elif isinstance(e, IndexValue):
+                    i = ikeys[("ival", e.comp)]
+                    r = self._place_in_con(ivals[i], ideps[i])
+                elif isinstance(e, ParamValue):
+                    r = params[e.param.name]
+                elif isinstance(e, SampleAccess):
+                    coords = [ev(c) for c in e.coords]
+                    simg = e.sampled
+                    imgs = simgs[simg.name]
+                    if simg.derivs:
+                        val = sample_with_deriv_images(
+                            imgs[0], imgs[1], imgs[2], coords[0], coords[1]
+                        )
+                    else:
+                        val = bilinear_sample(imgs[0], *coords)
+                    r = val[..., e.channel]
+                else:
+                    raise TypeError(f"unhandled node {e!r}")
+                cache[id(e)] = r
+                return r
+
+            outs = []
+            for e in exprs:
+                v = jnp.asarray(ev(e))
+                if v.ndim:
+                    if v.size != 1:
+                        raise ValueError(
+                            f"residual '{self.name}' still depends on contracted "
+                            f"domains after reduction (shape {v.shape}); wrap the "
+                            "contracted part in Sum(...)"
+                        )
+                    v = v.reshape(())
+                outs.append(v)
+            return jnp.stack(outs)
+
+        return F
+
+    # -- solver-facing entry points ------------------------------------------
+    def gather_all(self, X, inputs):
+        return [self.gather_slot(i, X, inputs) for i in range(len(self.uslots))]
+
+    def _vmapped(self, fn, uvals, consts):
+        bdeps, ideps = consts["bdeps"], consts["ideps"]
+        params, simgs = consts["params"], consts["simgs"]
+
+        def point(u, c, b, iv):
+            return fn(u, c, b, iv, bdeps, ideps, params, simgs)
+
+        return jax.vmap(point, in_axes=(0, 0, 0, 0))(
+            uvals, consts["cvals"], consts["barrs"], consts["iarrs"]
+        )
+
+    def residuals(self, X, inputs, consts=None):
+        """r(U): [R, rc]"""
+        consts = consts if consts is not None else self.prepared_consts(inputs)
+        uvals = self.gather_all(X, inputs)
+        return self._vmapped(self._F, uvals, consts)
+
+    def residuals_from_slots(self, uvals, consts):
+        return self._vmapped(self._F, uvals, consts)
+
+    def point_jacobians(self, X, inputs, consts=None):
+        """(r [R, rc], jacs list of [R, rc, *dep_con_shape, C]).
+
+        The analog of the reference's symbolic per-residual partials
+        (createjtfResidualwise, thallo.t:3867-3909) — computed numerically
+        per external point by vmap(jacrev) of the local function."""
+        consts = consts if consts is not None else self.prepared_consts(inputs)
+        uvals = self.gather_all(X, inputs)
+        bdeps, ideps = consts["bdeps"], consts["ideps"]
+        params, simgs = consts["params"], consts["simgs"]
+
+        def point(u, c, b, iv):
+            f = lambda uu: self._F(uu, c, b, iv, bdeps, ideps, params, simgs)  # noqa: E731
+            return f(u), jax.jacrev(f)(u)
+
+        return jax.vmap(point, in_axes=(0, 0, 0, 0))(
+            uvals, consts["cvals"], consts["barrs"], consts["iarrs"]
+        )
+
+
+def lower_pointwise(exprs: List[Exp], spec, sizes, dtype, name="expr"):
+    """Lower standalone expressions (e.g. Exclude guards) over their own
+    external domains; returns (group, eval_fn(inputs, X)) producing
+    [*ext_shape, rc].  Used for unknown exclusion masks (reference
+    fmap.exclude, gauss_newton.t:629-700)."""
+    g = LoweredGroup(name, exprs, spec, sizes, dtype)
+    if g.con_domains:
+        raise ValueError("pointwise expression must not contain contractions")
+
+    def evaluate(inputs, X=None):
+        consts = g.prepared_consts(inputs)
+        uvals = g.gather_all(X, inputs) if g.uslots else []
+        r = g.residuals_from_slots(uvals, consts)
+        return r.reshape(g.ext_shape + (g.rc,))
+
+    return g, evaluate

@@ -1,0 +1,66 @@
+"""Bilinear / trilinear image sampling with optional custom derivative
+images.
+
+TPU-native analog of the reference's SampledImage machinery
+(/root/reference/API/src/thallo.t:899-980 `sample` codegen and
+thallo.t:5784-5923 sampledimage with user-supplied dx/dy gradient images,
+exercised by examples/optical_flow/optical_flow.t:11-26).  The reference
+emits in-kernel gather+lerp Terra code; here sampling is a jnp gather+lerp
+and the coordinate derivative is either the analytic lerp derivative or the
+user's derivative images via jax.custom_jvp.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather2(img, ix, iy):
+    """img: [W, H, C]; ix, iy: int arrays (clamped)."""
+    W, H = img.shape[0], img.shape[1]
+    ix = jnp.clip(ix, 0, W - 1)
+    iy = jnp.clip(iy, 0, H - 1)
+    return img[ix, iy]
+
+
+def bilinear_sample(img: jnp.ndarray, x, y):
+    """Bilinear interpolation of img ([W, H, C]) at float coords (x, y),
+    clamped at the border (matches the reference's in-bounds guarded
+    sample, thallo.t:899-936).  Returns [..., C]."""
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    i0 = x0.astype(jnp.int32)
+    j0 = y0.astype(jnp.int32)
+    v00 = _gather2(img, i0, j0)
+    v10 = _gather2(img, i0 + 1, j0)
+    v01 = _gather2(img, i0, j0 + 1)
+    v11 = _gather2(img, i0 + 1, j0 + 1)
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v10 * fx * (1 - fy)
+        + v01 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=())
+def sample_with_deriv_images(img, dximg, dyimg, x, y):
+    """Bilinear sample whose coordinate-derivative is taken from
+    user-provided derivative images instead of the lerp derivative
+    (reference thallo.t:5887-5923: `sampledimage(im, dx, dy)`)."""
+    return bilinear_sample(img, x, y)
+
+
+@sample_with_deriv_images.defjvp
+def _sample_jvp(primals, tangents):
+    img, dximg, dyimg, x, y = primals
+    _, _, _, tx, ty = tangents
+    val = bilinear_sample(img, x, y)
+    dx = bilinear_sample(dximg, x, y)
+    dy = bilinear_sample(dyimg, x, y)
+    tan = dx * tx[..., None] + dy * ty[..., None]
+    return val, tan

@@ -1,0 +1,212 @@
+"""Plan: the compiled problem + solve driver.
+
+Mirrors the reference C API semantics (/root/reference/API/release/include/
+Thallo.h:41-106): ProblemPlan -> plan; plan.init/step/solve/cost/
+get_summary; string-keyed solver parameters
+(Thallo_SetSolverParameter, gauss_newton.t:1828-1862).
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .lower import LoweredGroup
+from .solver.gn import (
+    SOLVER_PARAMETER_DEFAULTS,
+    CompiledSolver,
+    GroupPlan,
+    LMState,
+    SolverParams,
+    tree_zeros_like,
+)
+from .spec import JTJpSchedule, ProblemSpec
+from .utils.timer import PerfSummary, Timer
+
+
+def make_plan(spec: ProblemSpec, dim_sizes, solver="gauss_newton", **options):
+    return Plan(spec, dim_sizes, solver, **options)
+
+
+class Plan:
+    def __init__(self, spec: ProblemSpec, dim_sizes: Dict[str, int], solver: str, **options):
+        if spec.energy is None:
+            raise ValueError("problem has no Residuals")
+        self.spec = spec
+        self.solver_kind = solver
+        uses_lambda = solver in ("levenberg_marquardt", "LM", "lm", "LMGPU")
+        self.dtype = jnp.float64 if spec.double_precision else jnp.float32
+        if spec.double_precision:
+            jax.config.update("jax_enable_x64", True)
+
+        # bind dim sizes (reference: dims bound at plan time from the C
+        # dimensions array, thallo.t:577-584)
+        if isinstance(dim_sizes, (list, tuple)):
+            dim_sizes = {d.name: s for d, s in zip(spec.dims, dim_sizes)}
+        self.dim_sizes = dict(dim_sizes)
+        for d in spec.dims:
+            if d.name not in self.dim_sizes:
+                raise ValueError(f"no size for dim {d.name}")
+            d.size = int(self.dim_sizes[d.name])
+
+        # group residuals: merged names lower together; everything else is
+        # one group per named residual (the reference groups by identical
+        # (domain, schedule) pairs, toresidualgroups thallo.t:4149-4201 —
+        # XLA fuses across groups, so finer granularity costs nothing)
+        merged_names = {}
+        energy = spec.energy
+        for mg in energy._merges:
+            for n in mg[1:]:
+                merged_names[n] = mg[0]
+        groups = []
+        bucket = {}
+        for nr in energy:
+            tgt = merged_names.get(nr.name, nr.name)
+            bucket.setdefault(tgt, []).append(nr)
+        for name, nrs in bucket.items():
+            exprs = []
+            for nr in nrs:
+                exprs.extend(nr.exprs)
+            schedule = nrs[0].get_schedule()
+            lg = LoweredGroup(name, exprs, spec, self.dim_sizes, self.dtype)
+            groups.append(GroupPlan(name=name, group=lg, schedule=schedule))
+
+        self.compiled = CompiledSolver(spec, groups, uses_lambda, self.dtype)
+        self.solver_parameters = dict(SOLVER_PARAMETER_DEFAULTS)
+        self.solver_parameters.update(options.get("solver_parameters", {}))
+        self.timer = Timer()
+        self._inputs = None
+        self._U = None
+        self._lm = None
+        self._finished = False
+        self._iter = 0
+
+    # -- parameter API (Thallo_Set/GetSolverParameter) ---------------------
+    def set_solver_parameter(self, name: str, value):
+        if name not in self.solver_parameters:
+            raise KeyError(f"unknown solver parameter {name}")
+        self.solver_parameters[name] = value
+
+    def get_solver_parameter(self, name: str):
+        return self.solver_parameters[name]
+
+    # -- data binding ------------------------------------------------------
+    def _normalize_inputs(self, inputs: Dict[str, np.ndarray]):
+        out = {}
+        for im in list(self.spec.unknowns) + list(self.spec.arrays):
+            if im.name not in inputs:
+                raise ValueError(f"missing input {im.name}")
+            a = jnp.asarray(inputs[im.name], dtype=self.dtype)
+            shape = tuple(d.size for d in im.dims) + (im.channels,)
+            if a.ndim == len(im.dims) and im.channels == 1:
+                a = a[..., None]
+            if a.shape != shape:
+                raise ValueError(f"input {im.name}: expected {shape}, got {a.shape}")
+            out[im.name] = a
+        for sm in self.spec.sparse_maps:
+            if sm.name not in inputs:
+                raise ValueError(f"missing sparse map {sm.name}")
+            arr = jnp.asarray(inputs[sm.name], dtype=jnp.int32)
+            out[sm.name] = arr
+        for p in self.spec.params:
+            if p.name not in inputs:
+                raise ValueError(f"missing param {p.name}")
+            out[p.name] = jnp.asarray(inputs[p.name], dtype=self.dtype)
+        return out
+
+    def init(self, inputs: Dict[str, np.ndarray]):
+        """Bind user arrays and reset solver state (Thallo_ProblemInit,
+        gauss_newton.t:1166-1198).  Unknown initial values are taken from
+        `inputs` by name."""
+        self._inputs = self._normalize_inputs(inputs)
+        self._U = {im.name: self._inputs[im.name] for im in self.spec.unknowns}
+        self._const_inputs = {
+            k: v for k, v in self._inputs.items()
+            if k not in self._U
+        }
+        zeros = tree_zeros_like(self._U)
+        dt = self.dtype
+        with self.timer.event("Nonlinear Setup"):
+            c0 = float(self.compiled.cost_jit(self._U, self._all_inputs()))
+        self._lm = LMState(
+            trust_region_radius=jnp.asarray(self.solver_parameters["trust_region_radius"], dt),
+            radius_decrease_factor=jnp.asarray(self.solver_parameters["radius_decrease_factor"], dt),
+            prev_cost=jnp.asarray(c0, dt),
+            n_iter=jnp.asarray(0, jnp.int32),
+            ssq=zeros,
+            finished=jnp.asarray(False),
+        )
+        self._finished = False
+        self._iter = 0
+        self._initial_cost = c0
+        return c0
+
+    def _all_inputs(self):
+        return self._inputs
+
+    def _sp(self):
+        return SolverParams.from_dict(self.solver_parameters, self.dtype)
+
+    # -- stepping ----------------------------------------------------------
+    def step(self) -> bool:
+        """One nonlinear iteration (Thallo_ProblemStep).  Returns True while
+        the solve should continue."""
+        if self._finished:
+            return False
+        n = int(self.solver_parameters["nIterations"])
+        if self._iter >= n:
+            self._finished = True
+            return False
+        with self.timer.event("Nonlinear Iteration"):
+            U, lm, stop, new_cost = self.compiled.step_jit(
+                self._U, self._lm, self._all_inputs(), self._sp()
+            )
+            jax.block_until_ready(U)
+        self._U, self._lm = U, lm
+        self._iter += 1
+        if bool(stop):
+            self._finished = True
+            return False
+        max_t = float(self.solver_parameters["max_solver_time_in_seconds"])
+        if max_t > 0 and self.timer.total_elapsed() > max_t:
+            self._finished = True
+            return False
+        return True
+
+    def solve(self, inputs: Optional[Dict] = None) -> float:
+        """Full solve (Thallo_ProblemSolve): init + steps until done.
+        Returns final cost."""
+        if inputs is not None:
+            self.init(inputs)
+        if self._inputs is None:
+            raise RuntimeError("call init() first")
+        with self.timer.event("Total"):
+            while self.step():
+                pass
+        return self.cost()
+
+    def cost(self) -> float:
+        return float(self.compiled.cost_jit(self._U, self._all_inputs()))
+
+    def unknowns(self) -> Dict[str, jnp.ndarray]:
+        return dict(self._U)
+
+    def get_unknown(self, name, squeeze=True):
+        a = self._U[name]
+        if squeeze and a.shape[-1] == 1:
+            a = a[..., 0]
+        return a
+
+    def get_performance_summary(self) -> PerfSummary:
+        return self.timer.summary()
+
+    @property
+    def final_cost(self):
+        return self.cost()
+
+    @property
+    def num_iterations(self):
+        return self._iter

@@ -1,0 +1,443 @@
+"""Gauss-Newton / Levenberg-Marquardt outer loop with a matrix-free
+preconditioned-conjugate-gradient inner loop.
+
+Numerics mirror the reference solver (/root/reference/API/src/
+gauss_newton.t) kernel by kernel:
+  PCGInit1 / PCGInit1_Finish     gauss_newton.t:676-731
+  PCGStep1/2/3                   gauss_newton.t:733-905
+  PCGSaveSSq / PCGComputeCtC /
+  PCGFinalizeDiagonal            gauss_newton.t:925-971, thallo.t:3911-3941
+  residual reset                 gauss_newton.t:1653-1660 (PCGStep2_1st/2ndHalf)
+  Q / zeta early termination     gauss_newton.t:1666-1686
+  Ceres-style trust region       gauss_newton.t:1707-1761
+  guardedInvert (CERES)          gauss_newton.t:638-667
+  safeDivideIfNotLM              gauss_newton.t:226-234
+
+TPU-first differences by design:
+* The whole inner loop is one `lax.while_loop` on device — no host
+  round-trips.  The reference does a cudaMemcpy D2H of Q every linear
+  iteration (gauss_newton.t:1146-1150); here the zeta test is on-device.
+* Reductions (alpha/beta/Q/cost dots) are jnp reductions; under pjit they
+  become ICI `psum`s instead of warp-shuffle + global atomics
+  (reference util.t:40-50, cuda_util.t:430-451).
+* J^T J . p strategies (the reference's 5-way JTJpSchedule, ir.t:64-68):
+  INLINE        -> jvp + vjp each step (derivatives recomputed, low memory)
+  PRECOMPUTE_J  -> per-point Jacobian blocks (vmap(jacrev)) stored once per
+                   nonlinear iteration; PCG step = batched einsum + scatter
+  PRECOMPUTE_JTJ / J_THEN_JTJ -> dense J^T J on the MXU when the unknown
+                   count is small (reference dense path gauss_newton.t:
+                   554-625, use_dense_where_possible), else falls back to
+                   PRECOMPUTE_J blocks
+  APPLY_SEPARATELY -> J.p materialized then J^T applied (two-step)
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lower import LoweredGroup, lower_pointwise
+from ..spec import JTJpSchedule
+
+
+# ---------------------------------------------------------------------------
+# pytree helpers (unknown "super-vector": a dict name -> [*dims, C];
+# the analog of the reference's contiguous unknown allocation,
+# thallo.t:1102-1129 — XLA needs no physical contiguity)
+# ---------------------------------------------------------------------------
+def tree_zeros_like(t):
+    return jax.tree_util.tree_map(jnp.zeros_like, t)
+
+
+def tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+def tree_sub(a, b):
+    return jax.tree_util.tree_map(jnp.subtract, a, b)
+
+
+def tree_scale(a, s):
+    return jax.tree_util.tree_map(lambda x: x * s, a)
+
+
+def tree_axpy(alpha, x, y):
+    return jax.tree_util.tree_map(lambda xv, yv: yv + alpha * xv, x, y)
+
+
+def tree_mul(a, b):
+    return jax.tree_util.tree_map(jnp.multiply, a, b)
+
+
+def tree_dot(a, b):
+    parts = jax.tree_util.tree_map(lambda x, y: jnp.vdot(x, y), a, b)
+    return jax.tree_util.tree_reduce(jnp.add, parts)
+
+
+def tree_where(c, a, b):
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(c, x, y), a, b)
+
+
+# ---------------------------------------------------------------------------
+# solver parameters (reference defaults gauss_newton.t:41-55)
+# ---------------------------------------------------------------------------
+SOLVER_PARAMETER_DEFAULTS = {
+    "residual_reset_period": 10,
+    "min_relative_decrease": 1e-3,
+    "min_trust_region_radius": 1e-32,
+    "max_trust_region_radius": 1e16,
+    "q_tolerance": 1e-4,
+    "function_tolerance": 1e-6,
+    "trust_region_radius": 1e4,
+    "radius_decrease_factor": 2.0,
+    "min_lm_diagonal": 1e-6,
+    "max_lm_diagonal": 1e32,
+    "max_solver_time_in_seconds": 0.0,
+    "nIterations": 10,
+    "lIterations": 10,
+}
+
+
+class SolverParams(NamedTuple):
+    """Device-side solver parameters; changing them does NOT recompile
+    (all enter the jitted step as traced scalars)."""
+
+    residual_reset_period: jnp.ndarray
+    min_relative_decrease: jnp.ndarray
+    min_trust_region_radius: jnp.ndarray
+    max_trust_region_radius: jnp.ndarray
+    q_tolerance: jnp.ndarray
+    function_tolerance: jnp.ndarray
+    min_lm_diagonal: jnp.ndarray
+    max_lm_diagonal: jnp.ndarray
+    lIterations: jnp.ndarray
+
+    @staticmethod
+    def from_dict(d, dtype):
+        return SolverParams(
+            residual_reset_period=jnp.asarray(d["residual_reset_period"], jnp.int32),
+            min_relative_decrease=jnp.asarray(d["min_relative_decrease"], dtype),
+            min_trust_region_radius=jnp.asarray(d["min_trust_region_radius"], dtype),
+            max_trust_region_radius=jnp.asarray(d["max_trust_region_radius"], dtype),
+            q_tolerance=jnp.asarray(d["q_tolerance"], dtype),
+            function_tolerance=jnp.asarray(d["function_tolerance"], dtype),
+            min_lm_diagonal=jnp.asarray(d["min_lm_diagonal"], dtype),
+            max_lm_diagonal=jnp.asarray(d["max_lm_diagonal"], dtype),
+            lIterations=jnp.asarray(d["lIterations"], jnp.int32),
+        )
+
+
+class LMState(NamedTuple):
+    """Per-solve mutable scalar state (device side)."""
+
+    trust_region_radius: jnp.ndarray
+    radius_decrease_factor: jnp.ndarray
+    prev_cost: jnp.ndarray
+    n_iter: jnp.ndarray
+    ssq: Any  # saved diag(J^T J) at iter 0 (JacobiScaling ONCE_PER_SOLVE)
+    finished: jnp.ndarray
+
+
+@dataclasses.dataclass
+class GroupPlan:
+    name: str
+    group: LoweredGroup
+    schedule: JTJpSchedule
+
+
+# ---------------------------------------------------------------------------
+# the compiled solver
+# ---------------------------------------------------------------------------
+class CompiledSolver:
+    """Holds lowered groups + jitted step/cost functions for one problem at
+    fixed dim sizes (the analog of the reference's compiled Plan,
+    gauss_newton.t:1963-2071)."""
+
+    def __init__(self, spec, groups: List[GroupPlan], uses_lambda: bool, dtype):
+        self.spec = spec
+        self.groups = groups
+        self.uses_lambda = uses_lambda
+        self.dtype = dtype
+        self.use_preconditioner = spec.use_preconditioner
+        self._exclude_fns = {}
+        for im in spec.unknowns:
+            if im.exclude_expr is not None:
+                _, fn = lower_pointwise(
+                    [im.exclude_expr], spec, {d.name: d.size for d in spec.dims}, dtype,
+                    name=f"exclude_{im.name}",
+                )
+                self._exclude_fns[im.name] = fn
+        self.cost_jit = jax.jit(self.cost)
+        self.step_jit = jax.jit(self.nonlinear_step)
+
+    # -- masks -------------------------------------------------------------
+    def masks(self, inputs, U):
+        """Active-mask pytree: 1 where the unknown may move, 0 where
+        excluded (reference fmap.exclude, thallo.t:1993-1997 +
+        gauss_newton.t unknownwise kernels)."""
+        out = {}
+        for im in self.spec.unknowns:
+            shape = tuple(d.size for d in im.dims) + (1,)
+            if im.name in self._exclude_fns:
+                v = self._exclude_fns[im.name](inputs, U)
+                out[im.name] = jnp.where(v.reshape(shape) != 0, 0.0, 1.0).astype(self.dtype)
+            else:
+                out[im.name] = jnp.ones(shape, dtype=self.dtype)
+        return out
+
+    # -- residuals / cost ---------------------------------------------------
+    def group_consts(self, inputs):
+        return [gp.group.prepared_consts(inputs) for gp in self.groups]
+
+    def cost(self, U, inputs, consts=None):
+        """0.5 * sum of squared residuals (reference createcost,
+        thallo.t:3939-3948)."""
+        consts = consts or self.group_consts(inputs)
+        total = jnp.asarray(0.0, self.dtype)
+        for gp, c in zip(self.groups, consts):
+            r = gp.group.residuals(U, inputs, c)
+            total = total + jnp.sum(r * r)
+        return 0.5 * total
+
+    # -- J^T F + diag(J^T J) -------------------------------------------------
+    def jtf_and_diag(self, U, inputs, consts, masks, jac_store):
+        """Returns (minus_jtf, diag, jac_store).  jac_store caches per-point
+        Jacobian blocks for groups whose schedule materializes J."""
+        mjtf = {im.name: jnp.zeros(tuple(d.size for d in im.dims) + (im.channels,), self.dtype)
+                for im in self.spec.unknowns}
+        diag = {k: jnp.zeros_like(v) for k, v in mjtf.items()}
+        for gi, (gp, c) in enumerate(zip(self.groups, consts)):
+            g = gp.group
+            if not g.uslots:
+                continue
+            r, jacs = g.point_jacobians(U, inputs, c)
+            jacs = self._mask_jacs(g, jacs, masks, inputs)
+            if gp.schedule != JTJpSchedule.INLINE:
+                jac_store[gi] = (r, jacs)
+            for i in range(len(g.uslots)):
+                J = jacs[i]  # [R, rc, *dep, C]
+                # J^T r and diag(J^T J) per point, scattered (reference
+                # createjtfResidualwise scatters, thallo.t:3895-3902)
+                jtr = jnp.einsum("pc...,pc->p...", J, r)
+                d2 = jnp.sum(J * J, axis=1)
+                name = g.uslots[i].image.name
+                mjtf[name] = mjtf[name] - g.scatter_slot(i, jtr, inputs)
+                diag[name] = diag[name] + g.scatter_slot(i, d2, inputs)
+        return mjtf, diag, jac_store
+
+    def _mask_jacs(self, g, jacs, masks, inputs):
+        out = []
+        for i in range(len(g.uslots)):
+            m = g.gather_slot(i, masks, inputs)  # [R, *dep, 1]
+            out.append(jacs[i] * m[:, None])
+        return out
+
+    # -- J^T J p -------------------------------------------------------------
+    def make_jtjp(self, U, inputs, consts, masks, jac_store):
+        """Build Ap(p) = sum_g J_g^T J_g p for the current linearization
+        point, honoring each group's schedule."""
+        inline_groups = []
+        block_groups = []
+        for gi, gp in enumerate(self.groups):
+            g = gp.group
+            if not g.uslots:
+                continue
+            if gp.schedule == JTJpSchedule.INLINE:
+                inline_groups.append((gi, gp))
+            else:
+                block_groups.append((gi, gp))
+
+        def apply_jtjp(p):
+            pm = tree_mul(p, self._bmask(masks))
+            Ap = tree_zeros_like(p)
+            for gi, gp in inline_groups:
+                g = gp.group
+                c = consts[gi]
+                res_fn = lambda X: g.residuals(X, inputs, c)  # noqa: E731
+                _, Jp = jax.jvp(res_fn, (U,), (pm,))
+                _, vjp_fn = jax.vjp(res_fn, U)
+                (contrib,) = vjp_fn(Jp)
+                for name in Ap:
+                    if name in contrib:
+                        Ap[name] = Ap[name] + contrib[name]
+            for gi, gp in block_groups:
+                g = gp.group
+                _, jacs = jac_store[gi]
+                # Jp[p, c] = sum_slots <J_slot, p_slot>
+                Jp = None
+                pvals = [g.gather_slot(i, pm, inputs) for i in range(len(g.uslots))]
+                for i in range(len(g.uslots)):
+                    term = jnp.einsum("pc...,p...->pc", jacs[i], pvals[i])
+                    Jp = term if Jp is None else Jp + term
+                for i in range(len(g.uslots)):
+                    contrib = jnp.einsum("pc...,pc->p...", jacs[i], Jp)
+                    name = g.uslots[i].image.name
+                    Ap[name] = Ap[name] + g.scatter_slot(i, contrib, inputs)
+            return tree_mul(Ap, self._bmask(masks))
+
+        return apply_jtjp
+
+    def _bmask(self, masks):
+        return masks
+
+    def model_cost(self, U, inputs, consts, delta):
+        """0.5 |r + J delta|^2 (reference createmodelcostResidualwise,
+        thallo.t:3845-3865)."""
+        total = jnp.asarray(0.0, self.dtype)
+        for gp, c in zip(self.groups, consts):
+            g = gp.group
+            res_fn = lambda X: g.residuals(X, inputs, c)  # noqa: E731
+            r, Jd = jax.jvp(res_fn, (U,), (delta,))
+            m = r + Jd
+            total = total + jnp.sum(m * m)
+        return 0.5 * total
+
+    # -- guarded invert (reference gauss_newton.t:638-667, CERES mode) -----
+    def guarded_invert(self, t):
+        return jax.tree_util.tree_map(
+            lambda p: 1.0 / jnp.square(1.0 + jnp.sqrt(p)), t
+        )
+
+    # -- the nonlinear step --------------------------------------------------
+    def nonlinear_step(self, U, lm: LMState, inputs, sp: SolverParams):
+        """One Gauss-Newton / LM iteration: setup + full PCG inner loop +
+        update (+ trust region accept/revert for LM).  Entirely on device;
+        mirrors the reference's step(), gauss_newton.t:1545-1785."""
+        dtype = self.dtype
+        consts = self.group_consts(inputs)
+        masks = self.masks(inputs, U)
+        jac_store = {}
+
+        # ---- nonlinear setup: r0 = -J^T F, preconditioner ----
+        mjtf, rawdiag, jac_store = self.jtf_and_diag(U, inputs, consts, masks, jac_store)
+        r0 = mjtf
+        if self.uses_lambda:
+            # PCGSaveSSq at iter 0 (JacobiScaling ONCE_PER_SOLVE,
+            # gauss_newton.t:925-930); keep previous ssq otherwise
+            first = lm.n_iter == 0
+            ssq = tree_where(first, rawdiag, lm.ssq)
+            radius = lm.trust_region_radius
+            # PCGComputeCtC (thallo.t:3911-3941): unclamped = diag/radius
+            unclamped = tree_scale(rawdiag, 1.0 / radius)
+            # PCGFinalizeDiagonal (gauss_newton.t:932-971)
+            def fin(unc, s):
+                inv_ssq = 1.0 / jnp.maximum(s, jnp.asarray(1e-30, dtype))
+                mult = inv_ssq / radius
+                ctc = jnp.clip(unc, sp.min_lm_diagonal * mult, sp.max_lm_diagonal * mult)
+                return ctc
+
+            CtC = jax.tree_util.tree_map(fin, unclamped, ssq)
+            pre = jax.tree_util.tree_map(
+                lambda ctc, unc: 1.0 / (ctc + radius * unc), CtC, unclamped
+            )
+        else:
+            ssq = lm.ssq
+            CtC = tree_zeros_like(rawdiag)
+            pre = self.guarded_invert(rawdiag)
+        if not self.use_preconditioner:
+            pre = jax.tree_util.tree_map(jnp.ones_like, pre)
+
+        b = r0
+        p0 = tree_mul(pre, r0)
+        alpha_num0 = tree_dot(r0, p0)
+        delta0 = tree_zeros_like(r0)
+        Q0 = jnp.asarray(0.0, dtype)  # 0.5*delta.(r+b) with delta=0
+
+        apply_jtjp = self.make_jtjp(U, inputs, consts, masks, jac_store)
+
+        def damped(pvec):
+            Ap = apply_jtjp(pvec)
+            if self.uses_lambda:
+                Ap = tree_add(Ap, tree_mul(CtC, pvec))
+            return Ap
+
+        def safe_div(num, den):
+            if self.uses_lambda:
+                return num / den
+            return jnp.where(den != 0.0, num / jnp.where(den != 0.0, den, 1.0), 0.0)
+
+        # ---- PCG inner loop (lax.while_loop; reference gauss_newton.t:
+        # 1615-1687, all reductions stay on device) ----
+        def cond_fn(st):
+            i, _, _, _, _, _, stop = st
+            return (i < sp.lIterations) & (~stop)
+
+        def body_fn(st):
+            i, delta, r, p, alpha_num, Q0v, stop = st
+            Ap = damped(p)
+            alpha_den = tree_dot(p, Ap)
+            alpha = safe_div(alpha_num, alpha_den)
+            delta = tree_axpy(alpha, p, delta)
+
+            def reset_r(_):
+                # PCGStep2_1stHalf/2ndHalf: r = b - A delta
+                Adelta = damped(delta)
+                return tree_sub(b, Adelta)
+
+            def update_r(_):
+                return tree_axpy(-alpha, Ap, r)
+
+            do_reset = self.uses_lambda & (((i + 1) % sp.residual_reset_period) == 0)
+            r = jax.lax.cond(do_reset, reset_r, update_r, None)
+            z = tree_mul(pre, r)
+            beta_num = tree_dot(z, r)
+            if self.uses_lambda:
+                Q1 = 0.5 * tree_dot(delta, tree_add(r, b))
+                zeta = (i + 1).astype(dtype) * (Q1 - Q0v) / Q1
+                stop_q = (~jnp.isfinite(Q1)) | (~jnp.isfinite(zeta)) | (zeta < sp.q_tolerance)
+            else:
+                Q1 = Q0v
+                stop_q = jnp.asarray(False)
+            beta = safe_div(beta_num, alpha_num)
+            p = tree_add(z, tree_scale(p, beta))
+            return (i + 1, delta, r, p, beta_num, Q1, stop_q)
+
+        init = (jnp.asarray(0, jnp.int32), delta0, r0, p0, alpha_num0, Q0, jnp.asarray(False))
+        _, delta, _, _, _, _, _ = jax.lax.while_loop(cond_fn, body_fn, init)
+        delta = tree_mul(delta, masks)
+
+        # ---- nonlinear finish ----
+        newU = tree_add(U, delta)
+        if not self.uses_lambda:
+            return newU, lm._replace(n_iter=lm.n_iter + 1), jnp.asarray(False), jnp.asarray(
+                jnp.nan, dtype
+            )
+
+        model_cost = self.model_cost(U, inputs, consts, delta)
+        model_cost_change = lm.prev_cost - model_cost
+        new_cost = self.cost(newU, inputs, consts)
+        cost_change = lm.prev_cost - new_cost
+        relative_decrease = cost_change / model_cost_change
+        accept = (cost_change >= 0) & (relative_decrease > sp.min_relative_decrease)
+
+        # Ceres-style radius update (gauss_newton.t:1707-1761)
+        step_quality = relative_decrease
+        tmp_factor = 1.0 - (2.0 * step_quality - 1.0) ** 3
+        radius_accept = jnp.minimum(
+            lm.trust_region_radius / jnp.maximum(1.0 / 3.0, tmp_factor),
+            sp.max_trust_region_radius,
+        )
+        radius_reject = lm.trust_region_radius / lm.radius_decrease_factor
+
+        new_radius = jnp.where(accept, radius_accept, radius_reject)
+        new_decrease = jnp.where(accept, 2.0, 2.0 * lm.radius_decrease_factor)
+        outU = tree_where(accept, newU, U)
+        new_prev_cost = jnp.where(accept, new_cost, lm.prev_cost)
+
+        func_tol = accept & (cost_change <= lm.prev_cost * sp.function_tolerance)
+        radius_too_small = (~accept) & (new_radius < sp.min_trust_region_radius)
+        stop = func_tol | radius_too_small
+
+        new_lm = LMState(
+            trust_region_radius=new_radius,
+            radius_decrease_factor=new_decrease,
+            prev_cost=new_prev_cost,
+            n_iter=lm.n_iter + 1,
+            ssq=tree_where(lm.n_iter == 0, ssq, lm.ssq),
+            finished=stop,
+        )
+        return outU, new_lm, stop, new_cost
