@@ -1,0 +1,68 @@
+"""Benchmark harness: PCG inner iterations/s on image_warping (the
+BASELINE.json north-star metric: "PCG inner iters/s + time-to-target-energy
+on image_warping and bundle_adjustment").
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline normalizes against 1000 PCG iters/s on 512x512 image_warping
+(both unknowns, GN, matrix-free) — the order of magnitude of hand-tuned
+GPU solvers on this workload; the reference repo commits no numbers
+(BASELINE.md), so this is the operational stand-in.
+"""
+import json
+import sys
+import time
+
+import jax
+
+BASELINE_PCG_ITERS_PER_S = 1000.0
+
+
+def bench_image_warping(W=512, H=512, n_steps=8, l_iters=16):
+    from thallo_tpu.models import image_warping
+
+    spec = image_warping.make_spec()
+    plan = spec.plan({"W": W, "H": H}, solver="gauss_newton")
+    plan.set_solver_parameter("nIterations", 10_000)
+    plan.set_solver_parameter("lIterations", l_iters)
+    inputs = image_warping.synthetic_inputs(W, H, w_fit=100.0, w_reg=0.01)
+    plan.init(inputs)
+
+    # warm up (compile)
+    plan.step()
+    jax.block_until_ready(plan._U)
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        plan.step()
+    jax.block_until_ready(plan._U)
+    dt = time.perf_counter() - t0
+
+    pcg_iters = n_steps * l_iters
+    return pcg_iters / dt
+
+
+def main():
+    try:
+        v = bench_image_warping()
+        out = {
+            "metric": "image_warping_512_pcg_iters_per_s",
+            "value": round(v, 2),
+            "unit": "PCG iters/s",
+            "vs_baseline": round(v / BASELINE_PCG_ITERS_PER_S, 4),
+        }
+    except Exception as e:  # noqa: BLE001
+        out = {
+            "metric": "image_warping_512_pcg_iters_per_s",
+            "value": 0.0,
+            "unit": "PCG iters/s",
+            "vs_baseline": 0.0,
+            "error": str(e)[:200],
+        }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,39 @@
+"""Bundle adjustment example (port of /root/reference/examples/
+bundle_adjustment): Snavely reprojection on a synthetic BAL-style scene."""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from thallo_tpu.models import bundle_adjustment as ba
+from thallo_tpu.utils.harness import run_solvers
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cameras", type=int, default=8)
+    ap.add_argument("--points", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--liters", type=int, default=30)
+    ap.add_argument("--out", default="results/bundle_adjustment")
+    args = ap.parse_args()
+
+    inputs, meta = ba.synthetic_inputs(n_cameras=args.cameras, n_points=args.points)
+    O = len(inputs["oToC"])
+    results = run_solvers(
+        ba.make_spec,
+        lambda: ba.synthetic_inputs(n_cameras=args.cameras, n_points=args.points)[0],
+        {"C": args.cameras, "P": args.points, "O": O},
+        solvers=["levenberg_marquardt"],
+        nonlinear_iters=args.iters,
+        linear_iters=args.liters,
+        out_dir=args.out,
+    )
+    for solver, r in results.items():
+        print(f"{solver}: {r['initial_cost']:.6f} -> {r['final_cost']:.8f} "
+              f"({r['solve_time_s']:.2f}s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,12 +1,8 @@
-"""Test configuration: run everything on a virtual 8-device CPU mesh so
+"""Test configuration: tests run on a virtual 8-device CPU mesh so
 sharding paths are exercised without TPU hardware (the analog of the
-reference's CPU shim backend, /root/reference/API/src/cpu_cuda.t, which
-runs every generated kernel on host for hardware-free testing)."""
-import os
+reference's CPU shim backend, /root/reference/API/src/cpu_cuda.t).  The
+CPU re-exec itself lives in plugin_cpu.py (see pyproject addopts)."""
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# oracle computations (jacfwd of matmuls) must not be bf16-truncated
+jax.config.update("jax_default_matmul_precision", "highest")

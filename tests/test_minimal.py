@@ -9,7 +9,7 @@ import pytest
 import thallo_tpu as tl
 from thallo_tpu.solver.gn import tree_zeros_like
 
-from util import dense_gn_solve, dense_jacobian, flatten_tree
+from tests.util import dense_gn_solve, dense_jacobian, flatten_tree
 
 LAPLACIAN = """
 W, H = Dims("W", "H")

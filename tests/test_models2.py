@@ -1,0 +1,126 @@
+"""End-to-end solves of the second wave of ported model energies
+(volumetric ARAP, embedded deformation, robust alignment, procrustes,
+cotangent smoothing, optical flow, spatially-varying deconvolution,
+face fitting)."""
+import numpy as np
+
+from thallo_tpu.models import (
+    cotangent_mesh_smoothing,
+    embedded_mesh_deformation,
+    face_fitting,
+    optical_flow,
+    procrustes_alignment,
+    robust_nonrigid_alignment,
+    spatially_varying_deconvolution,
+    volumetric_mesh_deformation,
+)
+
+
+def test_volumetric_mesh_deformation():
+    spec = volumetric_mesh_deformation.make_spec()
+    inputs = volumetric_mesh_deformation.synthetic_inputs(6, 6, 6)
+    plan = spec.plan({"W": 6, "H": 6, "D": 6}, solver="levenberg_marquardt")
+    plan.set_solver_parameter("nIterations", 12)
+    plan.set_solver_parameter("lIterations", 15)
+    c0 = plan.init(inputs)
+    final = plan.solve()
+    assert final < 0.2 * c0
+
+
+def test_embedded_mesh_deformation():
+    spec = embedded_mesh_deformation.make_spec()
+    inputs = embedded_mesh_deformation.synthetic_inputs(side=6)
+    N = 36
+    E = len(inputs["v0"])
+    plan = spec.plan({"N": N, "E": E}, solver="levenberg_marquardt")
+    plan.set_solver_parameter("nIterations", 15)
+    plan.set_solver_parameter("lIterations", 20)
+    c0 = plan.init(inputs)
+    final = plan.solve()
+    assert final < 0.2 * c0
+
+
+def test_robust_nonrigid_alignment():
+    spec = robust_nonrigid_alignment.make_spec()
+    inputs = robust_nonrigid_alignment.synthetic_inputs(side=6)
+    N = 36
+    E = len(inputs["v0"])
+    plan = spec.plan({"N": N, "E": E}, solver="levenberg_marquardt")
+    plan.set_solver_parameter("nIterations", 10)
+    plan.set_solver_parameter("lIterations", 15)
+    c0 = plan.init(inputs)
+    final = plan.solve()
+    assert final < c0
+
+
+def test_procrustes_recovers_transform():
+    spec = procrustes_alignment.make_spec()
+    inputs, meta = procrustes_alignment.synthetic_inputs(N=64)
+    plan = spec.plan({"N": 64, "U": 1}, solver="levenberg_marquardt")
+    plan.set_solver_parameter("nIterations", 30)
+    plan.set_solver_parameter("lIterations", 20)
+    plan.init(inputs)
+    final = plan.solve()
+    assert final < 1e-6
+    ang = np.asarray(plan.get_unknown("Angle", squeeze=False))[0]
+    tr = np.asarray(plan.get_unknown("Translation", squeeze=False))[0]
+    np.testing.assert_allclose(ang, meta["angle_true"], atol=1e-3)
+    np.testing.assert_allclose(tr, meta["trans_true"], atol=1e-3)
+
+
+def test_cotangent_mesh_smoothing():
+    spec = cotangent_mesh_smoothing.make_spec()
+    inputs = cotangent_mesh_smoothing.synthetic_inputs(side=6)
+    N = 36
+    E = len(inputs["V0"])
+    plan = spec.plan({"N": N, "E": E}, solver="gauss_newton")
+    plan.set_solver_parameter("nIterations", 5)
+    plan.set_solver_parameter("lIterations", 20)
+    c0 = plan.init(inputs)
+    final = plan.solve()
+    assert final < c0
+    # smoothing: z-variance of the interior should shrink
+    X = np.asarray(plan.get_unknown("X", squeeze=False)).reshape(6, 6, 3)
+    A = inputs["A"].reshape(6, 6, 3)
+    assert X[1:-1, 1:-1, 2].std() < A[1:-1, 1:-1, 2].std()
+
+
+def test_optical_flow_recovers_shift():
+    # sub-pixel shift: single-scale flow has a ~1px convergence basin (the
+    # reference's app uses image pyramids for larger motions)
+    spec = optical_flow.make_spec()
+    inputs, meta = optical_flow.synthetic_inputs(24, 24, shift=(0.75, -0.4))
+    plan = spec.plan({"W": 24, "H": 24}, solver="levenberg_marquardt")
+    plan.set_solver_parameter("nIterations", 50)
+    plan.set_solver_parameter("lIterations", 15)
+    c0 = plan.init(inputs)
+    final = plan.solve()
+    assert final < 0.05 * c0
+    flow = np.asarray(plan.get_unknown("X", squeeze=False))
+    interior = flow[6:-6, 6:-6]
+    med = np.median(interior.reshape(-1, 2), axis=0)
+    np.testing.assert_allclose(med, meta["true_flow"], atol=0.1)
+
+
+def test_spatially_varying_deconvolution():
+    spec = spatially_varying_deconvolution.make_spec(k_half=2)
+    inputs, meta = spatially_varying_deconvolution.synthetic_inputs(16, 16, Kd=5, Kc=2)
+    plan = spec.plan({"W": 16, "H": 16, "Kd": 5, "Kc": 2}, solver="gauss_newton")
+    plan.set_solver_parameter("nIterations", 8)
+    plan.set_solver_parameter("lIterations", 40)
+    c0 = plan.init(inputs)
+    final = plan.solve()
+    assert final < 0.05 * c0
+
+
+def test_face_fitting_recovers_weights():
+    spec = face_fitting.make_spec()
+    inputs, meta = face_fitting.synthetic_inputs(N=48, M=4)
+    plan = spec.plan({"N": 48, "M": 4, "U": 1}, solver="levenberg_marquardt")
+    plan.set_solver_parameter("nIterations", 25)
+    plan.set_solver_parameter("lIterations", 25)
+    plan.init(inputs)
+    final = plan.solve()
+    w = np.asarray(plan.get_unknown("BlendshapeWeights"))
+    # regularized fit: weights close to (slightly shrunk towards 0 vs) truth
+    np.testing.assert_allclose(w, meta["w_true"], atol=0.1)

@@ -48,7 +48,17 @@ class Image:
         return self.vtype.channels
 
     def __call__(self, *idx):
-        comps = _normalize_access(idx, len(self.dims))
+        # trailing-int channel select: Target(n, 0) == Target(n)(0)
+        # (reference Image:__call with channel arg, thallo.t:2000-2028)
+        channel = None
+        flat = []
+        for c in idx:
+            flat.extend(c) if isinstance(c, tuple) else flat.append(c)
+        if len(flat) == len(self.dims) + 1 and isinstance(flat[-1], int):
+            channel = flat.pop()
+        comps = _normalize_access(tuple(flat), len(self.dims))
+        if channel is not None:
+            return ImageAccess(self, comps, channel)
         accesses = [ImageAccess(self, comps, c) for c in range(self.channels)]
         if self.channels == 1:
             return accesses[0]

@@ -383,7 +383,9 @@ class LoweredGroup:
         return self._gather(slot, X[slot.image.name], inputs)
 
     def _gather(self, slot: SlotSpec, img, inputs):
-        C = slot.image.channels
+        # use the array's own channel count: masks are gathered through
+        # unknown slots but carry a single channel
+        C = img.shape[-1]
         rp = self._roll_plan(slot)
         if rp is not None:
             used, shifts = rp

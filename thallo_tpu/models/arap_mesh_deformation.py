@@ -1,0 +1,68 @@
+"""ARAP mesh deformation (/root/reference/examples/arap_mesh_deformation/
+arap_mesh_deformation.t): the canonical graph energy — float3 Position +
+Angle unknowns over vertices, Rotate3D as-rigid-as-possible term over
+edges, point constraints."""
+import numpy as np
+
+from ..lib_env import load_energy
+
+ENERGY = """
+N, E = Dims("N", "E")
+Inputs(
+    w_fitSqrt=Param(float, 0),
+    w_regSqrt=Param(float, 1),
+    Position=Unknown(float3, (N,), 2),
+    Angle=Unknown(float3, (N,), 3),
+    Original=Array(float3, (N,), 4),
+    Constraints=Array(float3, (N,), 5),
+    V0=Sparse((E,), (N,), 6),
+    V1=Sparse((E,), (N,), 7),
+)
+UsePreconditioner(True)
+n, e = N(), E()
+v0, v1 = V0(e), V1(e)
+e_fit = Position(n) - Constraints(n)
+valid = greatereq(Constraints(n)(0), -999999.9)
+ARAPCost = (Position(v0) - Position(v1)) - Rotate3D(Angle(v0), Original(v0) - Original(v1))
+r = Residuals(
+    fit=Select(valid, w_fitSqrt * e_fit, 0),
+    reg=w_regSqrt * ARAPCost,
+)
+"""
+
+
+def make_spec():
+    return load_energy(ENERGY, filename="arap_mesh_deformation.py")
+
+
+def synthetic_inputs(side=16, seed=0, w_fit=10.0, w_reg=1.0):
+    """A grid mesh (side x side vertices, 4-neighbor edges) with two
+    corner constraints pulled apart — the standard ARAP setup."""
+    N = side * side
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    orig = np.stack([xs, ys, np.zeros_like(xs)], axis=-1).reshape(N, 3).astype(np.float32)
+    edges = []
+    for i in range(side):
+        for j in range(side):
+            v = i * side + j
+            if i + 1 < side:
+                edges.append((v, v + side))
+                edges.append((v + side, v))
+            if j + 1 < side:
+                edges.append((v, v + 1))
+                edges.append((v + 1, v))
+    edges = np.asarray(edges, dtype=np.int32)
+    constraints = np.full((N, 3), -9999999.0, dtype=np.float32)
+    constraints[0] = orig[0]
+    corner = N - 1
+    constraints[corner] = orig[corner] + np.array([2.0, 2.0, 4.0], np.float32)
+    return {
+        "w_fitSqrt": np.sqrt(w_fit),
+        "w_regSqrt": np.sqrt(w_reg),
+        "Position": orig.copy(),
+        "Angle": np.zeros((N, 3), np.float32),
+        "Original": orig,
+        "Constraints": constraints,
+        "V0": edges[:, 0],
+        "V1": edges[:, 1],
+    }

@@ -27,7 +27,30 @@ from .spec import JTJpSchedule, ProblemSpec
 from .utils.timer import PerfSummary, Timer
 
 
+_cache_enabled = False
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: plan compiles are the analog of
+    the reference's slowest path (Thallo_ProblemPlan, SURVEY.md §3.2);
+    caching makes repeat solves of the same problem shape start fast."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    try:
+        import os
+
+        d = os.environ.get("THALLO_COMPILE_CACHE", os.path.expanduser("~/.cache/thallo_tpu_xla"))
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    _cache_enabled = True
+
+
 def make_plan(spec: ProblemSpec, dim_sizes, solver="gauss_newton", **options):
+    _enable_compile_cache()
     return Plan(spec, dim_sizes, solver, **options)
 
 
@@ -52,29 +75,38 @@ class Plan:
                 raise ValueError(f"no size for dim {d.name}")
             d.size = int(self.dim_sizes[d.name])
 
-        # group residuals: merged names lower together; everything else is
-        # one group per named residual (the reference groups by identical
-        # (domain, schedule) pairs, toresidualgroups thallo.t:4149-4201 —
-        # XLA fuses across groups, so finer granularity costs nothing)
+        # group residuals by identical (external domains, schedule) — the
+        # reference's toresidualgroups (thallo.t:4149-4201) does exactly
+        # this, so e.g. image_warping's 4 reg + 1 fit residuals become ONE
+        # kernel.  Explicit energy.merge() requests are honored first.
         merged_names = {}
         energy = spec.energy
         for mg in energy._merges:
             for n in mg[1:]:
                 merged_names[n] = mg[0]
-        groups = []
         bucket = {}
+        order = []
         for nr in energy:
             tgt = merged_names.get(nr.name, nr.name)
-            bucket.setdefault(tgt, []).append(nr)
-        for name, nrs in bucket.items():
+            key = ("merge", tgt) if (tgt != nr.name or tgt in merged_names.values()) else (
+                self._group_signature(nr), )
+            if key not in bucket:
+                bucket[key] = (tgt if key[0] == "merge" else nr.name, [])
+                order.append(key)
+            bucket[key][1].append(nr)
+        groups = []
+        for key in order:
+            name, nrs = bucket[key]
             exprs = []
             for nr in nrs:
                 exprs.extend(nr.exprs)
+            name = "_".join(nr.name for nr in nrs) if len(nrs) > 1 else name
             schedule = nrs[0].get_schedule()
             lg = LoweredGroup(name, exprs, spec, self.dim_sizes, self.dtype)
             groups.append(GroupPlan(name=name, group=lg, schedule=schedule))
 
         self.compiled = CompiledSolver(spec, groups, uses_lambda, self.dtype)
+        self.group_names = [g.name for g in groups]
         self.solver_parameters = dict(SOLVER_PARAMETER_DEFAULTS)
         self.solver_parameters.update(options.get("solver_parameters", {}))
         self.timer = Timer()
@@ -83,6 +115,23 @@ class Plan:
         self._lm = None
         self._finished = False
         self._iter = 0
+
+    @staticmethod
+    def _group_signature(nr):
+        """(external-domain ids, schedule knobs): residuals with identical
+        signatures lower into one group (reference toresidualgroups
+        domain+schedule classification, thallo.t:4149-4201)."""
+        from .lower import Collection, inline_computed
+
+        col = Collection()
+        for e in inline_computed(nr.exprs):
+            col.walk(e, frozenset())
+        doms = tuple(sorted(d.uid for d in col.ext_domains))
+        sched = (
+            nr.get_schedule().value,
+            tuple(sorted(nr._compute_at_output.items())),
+        )
+        return (doms, sched)
 
     # -- parameter API (Thallo_Set/GetSolverParameter) ---------------------
     def set_solver_parameter(self, name: str, value):

@@ -216,13 +216,13 @@ class CompiledSolver:
                 continue
             r, jacs = g.point_jacobians(U, inputs, c)
             jacs = self._mask_jacs(g, jacs, masks, inputs)
-            if gp.schedule != JTJpSchedule.INLINE:
+            if gp.schedule not in (JTJpSchedule.INLINE, JTJpSchedule.LINEARIZE):
                 jac_store[gi] = (r, jacs)
             for i in range(len(g.uslots)):
                 J = jacs[i]  # [R, rc, *dep, C]
                 # J^T r and diag(J^T J) per point, scattered (reference
                 # createjtfResidualwise scatters, thallo.t:3895-3902)
-                jtr = jnp.einsum("pc...,pc->p...", J, r)
+                jtr = jnp.einsum("pc...,pc->p...", J, r, precision=jax.lax.Precision.HIGHEST)
                 d2 = jnp.sum(J * J, axis=1)
                 name = g.uslots[i].image.name
                 mjtf[name] = mjtf[name] - g.scatter_slot(i, jtr, inputs)
@@ -241,6 +241,7 @@ class CompiledSolver:
         """Build Ap(p) = sum_g J_g^T J_g p for the current linearization
         point, honoring each group's schedule."""
         inline_groups = []
+        linearized = []  # (jvp_fn, vjp_fn) pairs, linearized at U once
         block_groups = []
         for gi, gp in enumerate(self.groups):
             g = gp.group
@@ -248,12 +249,24 @@ class CompiledSolver:
                 continue
             if gp.schedule == JTJpSchedule.INLINE:
                 inline_groups.append((gi, gp))
+            elif gp.schedule == JTJpSchedule.LINEARIZE:
+                c = consts[gi]
+                res_fn = lambda X, g=g, c=c: g.residuals(X, inputs, c)  # noqa: E731
+                _, jvp_fn = jax.linearize(res_fn, U)
+                vjp_fn = jax.linear_transpose(jvp_fn, U)
+                linearized.append((jvp_fn, vjp_fn))
             else:
                 block_groups.append((gi, gp))
 
         def apply_jtjp(p):
             pm = tree_mul(p, self._bmask(masks))
             Ap = tree_zeros_like(p)
+            for jvp_fn, vjp_fn in linearized:
+                Jp = jvp_fn(pm)
+                (contrib,) = vjp_fn(Jp)
+                for name in Ap:
+                    if name in contrib:
+                        Ap[name] = Ap[name] + contrib[name]
             for gi, gp in inline_groups:
                 g = gp.group
                 c = consts[gi]
@@ -271,10 +284,10 @@ class CompiledSolver:
                 Jp = None
                 pvals = [g.gather_slot(i, pm, inputs) for i in range(len(g.uslots))]
                 for i in range(len(g.uslots)):
-                    term = jnp.einsum("pc...,p...->pc", jacs[i], pvals[i])
+                    term = jnp.einsum("pc...,p...->pc", jacs[i], pvals[i], precision=jax.lax.Precision.HIGHEST)
                     Jp = term if Jp is None else Jp + term
                 for i in range(len(g.uslots)):
-                    contrib = jnp.einsum("pc...,pc->p...", jacs[i], Jp)
+                    contrib = jnp.einsum("pc...,pc->p...", jacs[i], Jp, precision=jax.lax.Precision.HIGHEST)
                     name = g.uslots[i].image.name
                     Ap[name] = Ap[name] + g.scatter_slot(i, contrib, inputs)
             return tree_mul(Ap, self._bmask(masks))

@@ -30,6 +30,13 @@ class JTJpSchedule(enum.Enum):
     PRECOMPUTE_JTJ = "precompute_jtj"
     PRECOMPUTE_J_THEN_JTJ = "precompute_j_then_jtj"
     APPLY_SEPARATELY = "apply_separately"
+    # TPU-first addition: jax.linearize once per nonlinear iteration, then
+    # linear apply + transpose per PCG step.  Matrix-free like INLINE but
+    # without re-deriving the forward pass every step (XLA stores the
+    # linearization residuals).  This is the default for unscheduled
+    # groups; the reference's default is INLINE recompute (its GPU kernels
+    # are gather-bound, ours are fusion-friendly).
+    LINEARIZE = "linearize"
 
 
 class _MaterializeHandle:
@@ -88,9 +95,11 @@ class NamedResidual:
         self._compute_at_output["self"] = bool(flag)
         return self
 
-    def get_schedule(self) -> JTJpSchedule:
+    def get_schedule(self, default=None) -> JTJpSchedule:
         """The materialize-flag -> 5-way schedule mapping (reference
-        get_schedule, thallo.t:4100-4134)."""
+        get_schedule, thallo.t:4100-4134).  Unscheduled groups default to
+        LINEARIZE (TPU-first; pass default=JTJpSchedule.INLINE for the
+        reference's recompute behavior)."""
         J, JtJ, Jp = (
             self._materialize["J"],
             self._materialize["JtJ"],
@@ -104,7 +113,7 @@ class NamedResidual:
             return JTJpSchedule.PRECOMPUTE_JTJ
         if Jp:
             return JTJpSchedule.APPLY_SEPARATELY
-        return JTJpSchedule.INLINE
+        return default or JTJpSchedule.LINEARIZE
 
     def __repr__(self):
         return f"residual:{self.name}[{len(self.exprs)}ch]"

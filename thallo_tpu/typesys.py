@@ -47,6 +47,8 @@ _BY_NAME = {
     "thallo_float": float1,
     "thallo_mat3f": mat3f,
     "thallo_mat4f": mat4f,
+    "mat3f": mat3f,
+    "mat4f": mat4f,
 }
 
 
