@@ -75,6 +75,14 @@ class Plan:
                 raise ValueError(f"no size for dim {d.name}")
             d.size = int(self.dim_sizes[d.name])
 
+        # Autoscheduler modes (reference useAutoscheduler, thallo.t:
+        # 4203-5532): 0 = respect user directives; 1 = heuristic override
+        # (clear directives, cost-model pick); 2 = clear to default;
+        # >=3 = exhaustive candidate use_autoscheduler-3 (reference
+        # exauto_index loop, thallo.t:5427-5530)
+        self.use_autoscheduler = int(options.get("use_autoscheduler", 0) or 0)
+        auto = self.use_autoscheduler
+
         # group residuals by identical (external domains, schedule) — the
         # reference's toresidualgroups (thallo.t:4149-4201) does exactly
         # this, so e.g. image_warping's 4 reg + 1 fit residuals become ONE
@@ -89,7 +97,7 @@ class Plan:
         for nr in energy:
             tgt = merged_names.get(nr.name, nr.name)
             key = ("merge", tgt) if (tgt != nr.name or tgt in merged_names.values()) else (
-                self._group_signature(nr), )
+                self._group_signature(nr, ignore_schedule=auto >= 1), )
             if key not in bucket:
                 bucket[key] = (tgt if key[0] == "merge" else nr.name, [])
                 order.append(key)
@@ -101,9 +109,33 @@ class Plan:
             for nr in nrs:
                 exprs.extend(nr.exprs)
             name = "_".join(nr.name for nr in nrs) if len(nrs) > 1 else name
-            schedule = nrs[0].get_schedule()
+            schedule = JTJpSchedule.LINEARIZE if auto >= 1 else nrs[0].get_schedule()
             lg = LoweredGroup(name, exprs, spec, self.dim_sizes, self.dtype)
             groups.append(GroupPlan(name=name, group=lg, schedule=schedule))
+
+        if auto == 1:
+            from .schedule import heuristic_schedule
+
+            log = [f"heuristic autoschedule ({len(groups)} groups):"]
+            lin_hint = int(options.get("lin_iter_hint", SOLVER_PARAMETER_DEFAULTS["lIterations"]))
+            for gp, s in zip(groups, heuristic_schedule(groups, lin_hint, log=log)):
+                gp.schedule = s
+            self._log_schedules(log)
+        elif auto >= 3:
+            from .schedule import enumerate_schedules
+
+            combos = enumerate_schedules(groups)
+            idx = auto - 3
+            if idx >= len(combos):
+                raise IndexError(
+                    f"autoschedule index {idx} exhausted ({len(combos)} candidates)"
+                )
+            for gp, s in zip(groups, combos[idx]):
+                gp.schedule = s
+            self._log_schedules(
+                [f"exhaustive candidate {idx}/{len(combos)}: "
+                 + ", ".join(f"{gp.name}={s.value}" for gp, s in zip(groups, combos[idx]))]
+            )
 
         self.compiled = CompiledSolver(spec, groups, uses_lambda, self.dtype)
         self.group_names = [g.name for g in groups]
@@ -117,21 +149,36 @@ class Plan:
         self._iter = 0
 
     @staticmethod
-    def _group_signature(nr):
+    def _group_signature(nr, ignore_schedule=False):
         """(external-domain ids, schedule knobs): residuals with identical
         signatures lower into one group (reference toresidualgroups
-        domain+schedule classification, thallo.t:4149-4201)."""
+        domain+schedule classification, thallo.t:4149-4201).  The
+        autoscheduler clears user directives first (thallo.t:5166-5190),
+        hence ignore_schedule."""
         from .lower import Collection, inline_computed
 
         col = Collection()
         for e in inline_computed(nr.exprs):
             col.walk(e, frozenset())
         doms = tuple(sorted(d.uid for d in col.ext_domains))
+        if ignore_schedule:
+            return (doms, ())
         sched = (
             nr.get_schedule().value,
             tuple(sorted(nr._compute_at_output.items())),
         )
         return (doms, sched)
+
+    def _log_schedules(self, lines):
+        """Append schedule decisions to schedules.txt (the reference's
+        search telemetry, thallo.t:4221-4251)."""
+        self.schedule_log = list(lines)
+        try:
+            with open("schedules.txt", "a") as f:
+                for ln in lines:
+                    f.write(ln + "\n")
+        except OSError:
+            pass
 
     # -- parameter API (Thallo_Set/GetSolverParameter) ---------------------
     def set_solver_parameter(self, name: str, value):

@@ -1,0 +1,164 @@
+"""Autoscheduler: choose each residual group's JTJp execution strategy.
+
+The reference's headline contribution is scheduling (README.md:6): the
+same energy can execute its J/JtJ computation inline, via materialized J,
+or via materialized JtJ, chosen per residual group.  Its autoscheduler
+(thallo.t:4203-5532) has three modes keyed by `useAutoscheduler`:
+  1  heuristic: merge same-domain groups, greedy materialize decisions,
+     pick JTJp strategy per group from an analytic GPU cost model
+     (cost_of_kernel thallo.t:4509-4546: C(k)=reg_mult*max(mem/bw,
+     ops/flops) using the device machine model)
+  2  clear everything -> default schedule
+  >=3 exhaustive enumeration with memory pruning + schedules.txt log
+     (generate_all_schedules thallo.t:4318-4482)
+
+TPU redesign: groups already merge by (domain, schedule) signature at plan
+time, and XLA owns loop order/fusion, so the surviving decision is the
+per-group JTJp strategy.  The analytic model below is a bytes-moved model
+(TPU kernels here are HBM-bandwidth-bound; the MXU only matters for the
+dense-JtJ path): per-PCG-iteration traffic + amortized per-nonlinear-
+iteration setup, with HBM-feasibility pruning — the same structure as the
+reference's cost_of_scheduled_energy (thallo.t:4548-5157) with the machine
+model swapped for TPU.
+"""
+from __future__ import annotations
+
+import itertools
+from typing import List
+
+import numpy as np
+
+from .spec import JTJpSchedule
+
+# TPU v5e-ish machine model (the analog of the reference's CUDA machine
+# model, cuda_util.t:584-684); only ratios matter for schedule choice.
+HBM_BYTES_PER_S = 800e9
+FLOPS = 200e12  # bf16 MXU peak; f32 ~ half
+HBM_BYTES = 16e9
+
+DENSE_JTJ_MAX_UNKNOWNS = 4096  # reference dense_materialize_threshold=256
+                               # (thallo.t:4204) scaled for MXU gemv
+
+
+def _group_stats(gp, dtype_bytes=4):
+    """Traffic building blocks for one lowered group."""
+    g = gp.group
+    R = g.R
+    rc = g.rc
+    slot_ch = 0
+    gather_bytes = 0
+    for s in g.uslots:
+        dep = int(np.prod([d.dim.size for d in s.dep_cons])) if s.dep_cons else 1
+        slot_ch += dep * s.image.channels
+        gather_bytes += R * dep * s.image.channels * dtype_bytes
+    const_bytes = 0
+    for s in g.cslots:
+        dep = int(np.prod([d.dim.size for d in s.dep_cons])) if s.dep_cons else 1
+        const_bytes += R * dep * s.image.channels * dtype_bytes
+    res_bytes = R * rc * dtype_bytes
+    unknown_elems = sum(
+        int(np.prod([d.size for d in s.image.dims])) * s.image.channels
+        for s in {id(s.image): s for s in g.uslots}.values()
+    )
+    return {
+        "R": R,
+        "rc": rc,
+        "slot_ch": slot_ch,
+        "gather_bytes": gather_bytes,
+        "const_bytes": const_bytes,
+        "res_bytes": res_bytes,
+        "jblock_bytes": R * rc * slot_ch * dtype_bytes,
+        "unknown_elems": unknown_elems,
+    }
+
+
+def estimate_group_cost(gp, schedule: JTJpSchedule, lin_iter_hint: int = 10,
+                        dtype_bytes: int = 4):
+    """(per_solve_iteration_bytes, resident_bytes).  Per-solve-iteration =
+    setup traffic + lin_iter_hint * per-PCG-iteration traffic, mirroring
+    the reference's nonlinear + lin_iter_hint * linear decomposition
+    (cost_of_scheduled_energy)."""
+    st = _group_stats(gp, dtype_bytes)
+    fwd = st["gather_bytes"] + st["const_bytes"] + st["res_bytes"]
+    setup = 0.0
+    resident = 0.0
+    if schedule == JTJpSchedule.INLINE:
+        # jvp (fwd + tangent) + vjp (fwd + cotangent) every iteration
+        per_iter = 4.0 * fwd
+    elif schedule == JTJpSchedule.LINEARIZE:
+        # linearization residuals ~ one fwd's intermediates; apply +
+        # transpose each touch them plus the slot-aligned tangents
+        setup = fwd
+        per_iter = 2.0 * fwd
+        resident = fwd
+    elif schedule in (JTJpSchedule.PRECOMPUTE_J, JTJpSchedule.APPLY_SEPARATELY):
+        setup = fwd + st["jblock_bytes"]
+        per_iter = 2.0 * (st["jblock_bytes"] + st["gather_bytes"]) + st["res_bytes"]
+        resident = st["jblock_bytes"]
+    elif schedule in (JTJpSchedule.PRECOMPUTE_JTJ, JTJpSchedule.PRECOMPUTE_J_THEN_JTJ):
+        n = st["unknown_elems"]
+        if n > DENSE_JTJ_MAX_UNKNOWNS:
+            # falls back to J blocks internally
+            setup = fwd + st["jblock_bytes"]
+            per_iter = 2.0 * (st["jblock_bytes"] + st["gather_bytes"])
+            resident = st["jblock_bytes"]
+        else:
+            dense = n * n * dtype_bytes
+            setup = fwd + st["jblock_bytes"] + dense
+            per_iter = dense  # gemv per iteration
+            resident = dense
+    else:
+        per_iter = 4.0 * fwd
+    return setup + lin_iter_hint * per_iter, resident
+
+
+CANDIDATES = [
+    JTJpSchedule.LINEARIZE,
+    JTJpSchedule.INLINE,
+    JTJpSchedule.PRECOMPUTE_J,
+    JTJpSchedule.PRECOMPUTE_JTJ,
+]
+
+
+def heuristic_schedule(groups, lin_iter_hint: int = 10, dtype_bytes: int = 4,
+                       log=None) -> List[JTJpSchedule]:
+    """Pick the cheapest feasible schedule per group (reference
+    select_jtjp_materialization, thallo.t:5233-5271)."""
+    budget = 0.6 * HBM_BYTES
+    chosen = []
+    for gp in groups:
+        best, best_cost = None, float("inf")
+        for cand in CANDIDATES:
+            cost, resident = estimate_group_cost(gp, cand, lin_iter_hint, dtype_bytes)
+            if resident > budget:
+                continue
+            if log is not None:
+                log.append(f"  {gp.name}: {cand.value} est_bytes={cost:.3g} resident={resident:.3g}")
+            if cost < best_cost:
+                best, best_cost = cand, cost
+        chosen.append(best or JTJpSchedule.INLINE)
+        if log is not None:
+            log.append(f"  {gp.name} -> {chosen[-1].value}")
+    return chosen
+
+
+def enumerate_schedules(groups, max_candidates: int = 2000, seed: int = 0):
+    """All per-group schedule combinations with memory pruning; sampled
+    when the product explodes (reference generate_all_schedules,
+    thallo.t:4318-4482: cartesian product, prune, stochastic sample
+    beyond 2000)."""
+    spaces = [CANDIDATES for _ in groups]
+    total = int(np.prod([len(s) for s in spaces])) if groups else 0
+    combos = itertools.product(*spaces)
+    if total > max_candidates:
+        rng = np.random.RandomState(seed)
+        all_c = list(combos)
+        idx = rng.choice(len(all_c), size=max_candidates, replace=False)
+        combos = [all_c[i] for i in sorted(idx)]
+    out = []
+    budget = 0.6 * HBM_BYTES
+    for combo in combos:
+        resident = sum(estimate_group_cost(gp, s)[1] for gp, s in zip(groups, combo))
+        if resident <= budget:
+            out.append(list(combo))
+    return out
