@@ -124,3 +124,32 @@ def test_face_fitting_recovers_weights():
     w = np.asarray(plan.get_unknown("BlendshapeWeights"))
     # regularized fit: weights close to (slightly shrunk towards 0 vs) truth
     np.testing.assert_allclose(w, meta["w_true"], atol=0.1)
+
+
+def test_shape_from_shading():
+    from thallo_tpu.models import shape_from_shading
+
+    spec = shape_from_shading.make_spec()
+    inputs = shape_from_shading.synthetic_inputs(24, 24)
+    plan = spec.plan({"W": 24, "H": 24}, solver="levenberg_marquardt")
+    plan.set_solver_parameter("nIterations", 8)
+    plan.set_solver_parameter("lIterations", 10)
+    c0 = plan.init(inputs)
+    final = plan.solve()
+    assert final < 0.5 * c0
+    # all four residual groups share (x, y) -> one merged kernel
+    assert len(plan.compiled.groups) == 1
+
+
+def test_intrinsic_image_decomposition():
+    from thallo_tpu.models import intrinsic_image_decomposition as iid
+
+    spec = iid.make_spec()
+    inputs = iid.synthetic_inputs(24, 24)
+    plan = spec.plan({"W": 24, "H": 24}, solver="gauss_newton")
+    plan.set_solver_parameter("nIterations", 10)
+    plan.set_solver_parameter("lIterations", 30)
+    c0 = plan.init(inputs)
+    final = plan.solve()
+    # converges to a balanced albedo/shading stationary point
+    assert final < 0.6 * c0

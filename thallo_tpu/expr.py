@@ -71,6 +71,14 @@ class Exp:
     def sum(self):
         return self
 
+    def get(self, *idx):
+        """Materialization hint: treat this expression as an implicit
+        computed array over its domains, accessed at `idx` (reference
+        `exp:get(...)` -> maybe_computed_array, /root/reference/API/src/
+        thallo.t:1868-1893).  Inline by default — the access substitutes
+        indices into the expression; a schedule may choose to materialize."""
+        return _make_get(channels_of(self), idx)
+
     @property
     def nchannels(self):
         return 1
@@ -305,8 +313,44 @@ class ExpVector:
             s = s + d
         return s
 
+    def get(self, *idx):
+        """See Exp.get."""
+        return _make_get(list(self.data), idx)
+
     def __repr__(self):
         return f"Vector({', '.join(map(repr, self.data))})"
+
+
+def channels_of(v):
+    if isinstance(v, ExpVector):
+        return list(v.data)
+    return [toexp(v)]
+
+
+def _make_get(exprs, idx):
+    """Build an implicit computed-array access: the k-th index argument's
+    primary domain is the k-th declared domain of the computed array."""
+    from .dims import normalize_index
+    from .inputs import Image
+    from .typesys import VecType
+
+    comps = tuple(normalize_index(c) for c in idx)
+    domains = []
+    for c in comps:
+        ds = c.domains()
+        if not ds:
+            raise ValueError("get() index must reference an iteration domain")
+        domains.append(ds[0])
+    im = Image(
+        f"_get{id(exprs[0])}", VecType(len(exprs)),
+        tuple(d.dim for d in domains), "computed",
+    )
+    im.expression = exprs
+    im.domains = tuple(domains)
+    accesses = [ImageAccess(im, comps, c) for c in range(len(exprs))]
+    if len(exprs) == 1:
+        return accesses[0]
+    return ExpVector(accesses)
 
 
 def channels(v):

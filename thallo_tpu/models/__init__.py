@@ -6,10 +6,12 @@ from . import cotangent_mesh_smoothing  # noqa: F401
 from . import embedded_mesh_deformation  # noqa: F401
 from . import face_fitting  # noqa: F401
 from . import image_warping  # noqa: F401
+from . import intrinsic_image_decomposition  # noqa: F401
 from . import optical_flow  # noqa: F401
 from . import poisson_image_editing  # noqa: F401
 from . import procrustes_alignment  # noqa: F401
 from . import robust_nonrigid_alignment  # noqa: F401
+from . import shape_from_shading  # noqa: F401
 from . import spatially_varying_deconvolution  # noqa: F401
 from . import volumetric_mesh_deformation  # noqa: F401
 
@@ -26,6 +28,8 @@ REGISTRY = {
     "optical_flow": optical_flow,
     "spatially_varying_deconvolution": spatially_varying_deconvolution,
     "face_fitting": face_fitting,
+    "shape_from_shading": shape_from_shading,
+    "intrinsic_image_decomposition": intrinsic_image_decomposition,
 }
 
 

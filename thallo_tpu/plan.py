@@ -40,6 +40,11 @@ def _enable_compile_cache():
     try:
         import os
 
+        if jax.default_backend() == "cpu":
+            # CPU AOT results are machine-feature-specific; a cache shared
+            # across heterogeneous hosts risks SIGILL (observed warnings)
+            _cache_enabled = True
+            return
         d = os.environ.get("THALLO_COMPILE_CACHE", os.path.expanduser("~/.cache/thallo_tpu_xla"))
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
@@ -141,6 +146,8 @@ class Plan:
         self.group_names = [g.name for g in groups]
         self.solver_parameters = dict(SOLVER_PARAMETER_DEFAULTS)
         self.solver_parameters.update(options.get("solver_parameters", {}))
+        self.timing_level = int(options.get("timing_level", 1))
+        self._sp_cache = None
         self.timer = Timer()
         self._inputs = None
         self._U = None
@@ -185,6 +192,7 @@ class Plan:
         if name not in self.solver_parameters:
             raise KeyError(f"unknown solver parameter {name}")
         self.solver_parameters[name] = value
+        self._sp_cache = None
 
     def get_solver_parameter(self, name: str):
         return self.solver_parameters[name]
@@ -244,26 +252,38 @@ class Plan:
         return self._inputs
 
     def _sp(self):
-        return SolverParams.from_dict(self.solver_parameters, self.dtype)
+        # cached: rebuilding does 9 tiny host->device transfers (~10 ms on
+        # TPU, measured) — far more than a PCG iteration
+        if getattr(self, "_sp_cache", None) is None:
+            self._sp_cache = SolverParams.from_dict(self.solver_parameters, self.dtype)
+        return self._sp_cache
 
     # -- stepping ----------------------------------------------------------
     def step(self) -> bool:
         """One nonlinear iteration (Thallo_ProblemStep).  Returns True while
-        the solve should continue."""
+        the solve should continue.
+
+        GN steps are dispatched asynchronously (GN has no device-side stop
+        condition, gauss_newton.t GN path) — the host never blocks between
+        iterations.  LM must read the trust-region stop flag.  timingLevel
+        >= 2 forces a sync per step for accurate per-iteration timings
+        (the reference's invasive timing mode, Thallo.h:19-25)."""
         if self._finished:
             return False
         n = int(self.solver_parameters["nIterations"])
         if self._iter >= n:
             self._finished = True
             return False
+        invasive = self.timing_level >= 2
         with self.timer.event("Nonlinear Iteration"):
             U, lm, stop, new_cost = self.compiled.step_jit(
                 self._U, self._lm, self._all_inputs(), self._sp()
             )
-            jax.block_until_ready(U)
+            if invasive:
+                jax.block_until_ready(U)
         self._U, self._lm = U, lm
         self._iter += 1
-        if bool(stop):
+        if self.compiled.uses_lambda and bool(stop):
             self._finished = True
             return False
         max_t = float(self.solver_parameters["max_solver_time_in_seconds"])
@@ -282,6 +302,7 @@ class Plan:
         with self.timer.event("Total"):
             while self.step():
                 pass
+            jax.block_until_ready(self._U)
         return self.cost()
 
     def cost(self) -> float:

@@ -49,6 +49,11 @@ _BY_NAME = {
     "thallo_mat4f": mat4f,
     "mat3f": mat3f,
     "mat4f": mat4f,
+    # integer-typed arrays in the reference (e.g. uint8 edge masks,
+    # shape_from_shading.t:19-20) are stored as float images on TPU
+    "uint8": float1,
+    "int32": float1,
+    "uchar": float1,
 }
 
 
