@@ -153,3 +153,32 @@ def test_intrinsic_image_decomposition():
     final = plan.solve()
     # converges to a balanced albedo/shading stationary point
     assert final < 0.6 * c0
+
+
+def test_sparse_bundle_fusion_pose_graph():
+    from thallo_tpu.models import sparse_bundle_fusion as sbf
+
+    spec = sbf.make_spec()
+    inputs, meta = sbf.synthetic_inputs(n_frames=5, corrs_per_pair=12)
+    C = len(inputs["corr_i"])
+    plan = spec.plan({"T": 5, "CorrDim": C}, solver="levenberg_marquardt")
+    plan.set_solver_parameter("nIterations", 25)
+    plan.set_solver_parameter("lIterations", 25)
+    c0 = plan.init(inputs)
+    final = plan.solve()
+    assert final < 1e-2 * c0
+
+    # the pose graph has a global gauge freedom; compare RELATIVE
+    # transforms T_i^-1 T_{i+1} against ground truth (decoded with the
+    # energy's own SE(3)-exp convention)
+    def mats(rots, trans):
+        return [sbf.np_pose_to_matrix(r, t)
+                for r, t in zip(np.asarray(rots), np.asarray(trans))]
+
+    got = mats(plan.get_unknown("CamRotation", squeeze=False),
+               plan.get_unknown("CamTranslation", squeeze=False))
+    want = mats(meta["rots_true"], meta["trans_true"])
+    for i in range(len(got) - 1):
+        rel_got = np.linalg.inv(got[i]) @ got[i + 1]
+        rel_want = np.linalg.inv(want[i]) @ want[i + 1]
+        np.testing.assert_allclose(rel_got, rel_want, atol=2e-2)

@@ -1,0 +1,158 @@
+"""Solver-option coverage: direct solve, guarded-invert variants, Jacobi
+scaling modes, checkpoint/resume, plan lifecycle (the reference's
+create_delete_cycle test, tests/create_delete_cycle/main.cpp:22-27), and
+sparse J/JtJ materialization on graph energies (tests/
+minimal_sparse_materialize)."""
+import os
+import tempfile
+
+import numpy as np
+import jax.numpy as jnp
+
+import thallo_tpu as tl
+from tests.util import dense_gn_solve
+
+LAPLACIAN = """
+W, H = Dims("W", "H")
+Inputs(X=Unknown(float, (W, H), 0), A=Array(float, (W, H), 1))
+w_fit = 0.2
+x, y = W(), H()
+r = Residuals(
+    fit=w_fit * (X(x, y) - A(x, y)),
+    reg=[Select(InBounds(x + 1, y + 1), X(x, y) - X(x + 1, y), 0),
+         Select(InBounds(x, y + 1), X(x, y) - X(x, y + 1), 0)],
+)
+"""
+
+GRAPH = """
+N, E = Dims("N", "E")
+Inputs(
+    X=Unknown(float, (N,), 0),
+    A=Array(float, (N,), 1),
+    v0=Sparse((E,), (N,), 2),
+    v1=Sparse((E,), (N,), 3),
+)
+n, e = N(), E()
+r = Residuals(fit=0.5 * (X(n) - A(n)), reg=X(v0(e)) - X(v1(e)))
+"""
+
+
+def _lap_inputs(n, seed=0):
+    rng = np.random.RandomState(seed)
+    t = rng.rand(n, n).astype(np.float32)
+    return {"X": t.copy(), "A": t}
+
+
+def test_direct_solve_matches_pcg():
+    n = 10
+    inputs = _lap_inputs(n)
+    finals = {}
+    for ls in ["pcg", "direct"]:
+        spec = tl.load_energy(LAPLACIAN)
+        plan = spec.plan({"W": n, "H": n}, solver="gauss_newton", linear_solver=ls)
+        plan.set_solver_parameter("nIterations", 3)
+        plan.set_solver_parameter("lIterations", 200)
+        plan.init({k: v.copy() for k, v in inputs.items()})
+        finals[ls] = plan.solve()
+    # exact direct solve of a linear LSQ problem: PCG with many iters agrees
+    assert np.isclose(finals["pcg"], finals["direct"], rtol=1e-3)
+
+
+def test_direct_solve_lm():
+    n = 8
+    inputs = _lap_inputs(n)
+    spec = tl.load_energy(LAPLACIAN)
+    plan = spec.plan({"W": n, "H": n}, solver="levenberg_marquardt", linear_solver="direct")
+    plan.set_solver_parameter("nIterations", 8)
+    c0 = plan.init(inputs)
+    final = plan.solve()
+    assert final < 0.9 * c0
+
+
+def test_guarded_invert_variants():
+    n = 10
+    finals = []
+    for git in ["CERES", "MODIFIED_CERES", "EPSILON_ADD"]:
+        spec = tl.load_energy(LAPLACIAN)
+        plan = spec.plan({"W": n, "H": n}, guarded_invert_type=git)
+        plan.set_solver_parameter("nIterations", 8)
+        plan.set_solver_parameter("lIterations", 40)
+        plan.init(_lap_inputs(n))
+        finals.append(plan.solve())
+    # the preconditioner changes convergence rate, not the fixed point
+    assert max(finals) - min(finals) < 1e-3 * max(finals) + 1e-5
+
+
+def test_jacobi_scaling_modes():
+    n = 10
+    for mode in ["ONCE_PER_SOLVE", "EVERY_ITERATION", "NONE"]:
+        spec = tl.load_energy(LAPLACIAN)
+        plan = spec.plan(
+            {"W": n, "H": n}, solver="levenberg_marquardt", jacobi_scaling=mode
+        )
+        plan.set_solver_parameter("nIterations", 6)
+        c0 = plan.init(_lap_inputs(n))
+        assert plan.solve() < c0
+
+
+def test_checkpoint_resume():
+    n = 12
+    inputs = _lap_inputs(n)
+    spec = tl.load_energy(LAPLACIAN)
+    plan = spec.plan({"W": n, "H": n}, solver="levenberg_marquardt")
+    plan.set_solver_parameter("nIterations", 10)
+    plan.init(inputs)
+    for _ in range(3):
+        plan.step()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        plan.save_state(path)
+        mid_cost = plan.cost()
+        # finish run A
+        final_a = plan.solve()
+        # fresh plan, resume from checkpoint
+        spec2 = tl.load_energy(LAPLACIAN)
+        plan2 = spec2.plan({"W": n, "H": n}, solver="levenberg_marquardt")
+        plan2.set_solver_parameter("nIterations", 10)
+        plan2.init(_lap_inputs(n))
+        plan2.load_state(path)
+        assert np.isclose(plan2.cost(), mid_cost, rtol=1e-6)
+        final_b = plan2.solve()
+    assert np.isclose(final_a, final_b, rtol=1e-4)
+
+
+def test_plan_lifecycle_cycle():
+    """Create/free plans repeatedly, then solve (reference
+    create_delete_cycle)."""
+    n = 8
+    for _ in range(10):
+        spec = tl.load_energy(LAPLACIAN)
+        plan = spec.plan({"W": n, "H": n})
+        del plan
+    spec = tl.load_energy(LAPLACIAN)
+    plan = spec.plan({"W": n, "H": n})
+    plan.set_solver_parameter("nIterations", 3)
+    c0 = plan.init(_lap_inputs(n))
+    assert plan.solve() < c0
+
+
+def test_sparse_materialize_schedules():
+    """J / JtJ materialization on graph (sparse-gather) energies."""
+    nN, nE = 20, 19
+    rng = np.random.RandomState(5)
+    target = rng.rand(nN).astype(np.float32)
+    v0 = np.arange(0, nE, dtype=np.int32)
+    v1 = np.arange(1, nE + 1, dtype=np.int32)
+    finals = {}
+    for sched in ["none", "J", "JtJ", "Jp"]:
+        spec = tl.load_energy(GRAPH)
+        if sched != "none":
+            for nr in spec.energy:
+                getattr(nr, sched).set_materialize(True)
+        plan = spec.plan({"N": nN, "E": nE})
+        plan.set_solver_parameter("nIterations", 8)
+        plan.set_solver_parameter("lIterations", 50)
+        plan.init({"X": target.copy(), "A": target, "v0": v0, "v1": v1})
+        finals[sched] = plan.solve()
+    for k, v in finals.items():
+        assert np.isclose(v, finals["none"], rtol=1e-3), (k, finals)

@@ -328,19 +328,44 @@ def channels_of(v):
 
 
 def _make_get(exprs, idx):
-    """Build an implicit computed-array access: the k-th index argument's
-    primary domain is the k-th declared domain of the computed array."""
+    """Build an implicit computed-array access.  The computed array's
+    declared domains are the EXPRESSION's free domains (like the reference,
+    which classifies the expression first, thallo.t:1868-1893); index
+    arguments map to them by primary domain when the argument mentions one
+    of them (e.g. B_I.get(x+1, y)), else positionally (e.g. accessing a
+    per-frame transform at a sparse index, transform.get(corr_i(c)))."""
     from .dims import normalize_index
     from .inputs import Image
     from .typesys import VecType
 
     comps = tuple(normalize_index(c) for c in idx)
-    domains = []
-    for c in comps:
+
+    # free domains of the expression, ordered by first appearance
+    from .lower import Collection
+
+    col = Collection()
+    for e in exprs:
+        col.walk(e, frozenset())
+    expr_domains = list(col.ext_domains)
+    if len(expr_domains) != len(comps):
+        raise ValueError(
+            f"get() has {len(comps)} index args but the expression has "
+            f"{len(expr_domains)} free domains"
+        )
+    # match by primary domain where possible
+    order = [None] * len(comps)
+    used = set()
+    for k, c in enumerate(comps):
         ds = c.domains()
-        if not ds:
-            raise ValueError("get() index must reference an iteration domain")
-        domains.append(ds[0])
+        if ds and ds[0] in expr_domains and ds[0] not in used:
+            order[k] = ds[0]
+            used.add(ds[0])
+    rest = [d for d in expr_domains if d not in used]
+    for k in range(len(comps)):
+        if order[k] is None:
+            order[k] = rest.pop(0)
+    domains = order
+
     im = Image(
         f"_get{id(exprs[0])}", VecType(len(exprs)),
         tuple(d.dim for d in domains), "computed",

@@ -600,6 +600,16 @@ class LoweredGroup:
         return F
 
     # -- solver-facing entry points ------------------------------------------
+    def slot_flat_indices(self, i: int, inputs):
+        """Flat element indices into slot i's image for every grid point:
+        [R, *dep_con_shape] int32 (used for dense/sparse J assembly —
+        the analog of the reference's generateDumpJ CSR column indices,
+        gauss_newton.t:325-488)."""
+        slot = self.uslots[i]
+        flat = self._slot_flat_indices(slot, inputs)
+        dep_shape = tuple(d.dim.size for d in slot.dep_cons)
+        return flat.reshape((self.R,) + dep_shape)
+
     def gather_all(self, X, inputs):
         return [self.gather_slot(i, X, inputs) for i in range(len(self.uslots))]
 

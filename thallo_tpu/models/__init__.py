@@ -12,6 +12,7 @@ from . import poisson_image_editing  # noqa: F401
 from . import procrustes_alignment  # noqa: F401
 from . import robust_nonrigid_alignment  # noqa: F401
 from . import shape_from_shading  # noqa: F401
+from . import sparse_bundle_fusion  # noqa: F401
 from . import spatially_varying_deconvolution  # noqa: F401
 from . import volumetric_mesh_deformation  # noqa: F401
 
@@ -30,6 +31,7 @@ REGISTRY = {
     "face_fitting": face_fitting,
     "shape_from_shading": shape_from_shading,
     "intrinsic_image_decomposition": intrinsic_image_decomposition,
+    "sparse_bundle_fusion": sparse_bundle_fusion,
 }
 
 

@@ -85,6 +85,20 @@ class Plan:
         # (clear directives, cost-model pick); 2 = clear to default;
         # >=3 = exhaustive candidate use_autoscheduler-3 (reference
         # exauto_index loop, thallo.t:5427-5530)
+        _known = {"use_autoscheduler", "lin_iter_hint", "solver_parameters",
+                  "timing_level", "verbosity", "guarded_invert_type",
+                  "jacobi_scaling", "linear_solver"}
+        bad = set(options) - _known
+        if bad:
+            raise ValueError(f"unknown plan option(s): {sorted(bad)}")
+        if options.get("linear_solver", "pcg") not in ("pcg", "direct"):
+            raise ValueError("linear_solver must be 'pcg' or 'direct'")
+        if options.get("guarded_invert_type", "CERES") not in (
+                "CERES", "MODIFIED_CERES", "EPSILON_ADD"):
+            raise ValueError("invalid guarded_invert_type")
+        if options.get("jacobi_scaling", "ONCE_PER_SOLVE") not in (
+                "ONCE_PER_SOLVE", "EVERY_ITERATION", "NONE"):
+            raise ValueError("invalid jacobi_scaling")
         self.use_autoscheduler = int(options.get("use_autoscheduler", 0) or 0)
         auto = self.use_autoscheduler
 
@@ -142,11 +156,18 @@ class Plan:
                  + ", ".join(f"{gp.name}={s.value}" for gp, s in zip(groups, combos[idx]))]
             )
 
-        self.compiled = CompiledSolver(spec, groups, uses_lambda, self.dtype)
+        self.compiled = CompiledSolver(spec, groups, uses_lambda, self.dtype, options)
         self.group_names = [g.name for g in groups]
+        if int(options.get("verbosity", 0)):
+            for gp in groups:
+                g = gp.group
+                print(f"[thallo_tpu] group {gp.name}: ext={[d.name for d in g.ext_domains]} "
+                      f"con={[d.name for d in g.con_domains]} slots={len(g.uslots)} "
+                      f"rc={g.rc} schedule={gp.schedule.value}")
         self.solver_parameters = dict(SOLVER_PARAMETER_DEFAULTS)
         self.solver_parameters.update(options.get("solver_parameters", {}))
         self.timing_level = int(options.get("timing_level", 1))
+        self.verbosity = int(options.get("verbosity", 0))
         self._sp_cache = None
         self.timer = Timer()
         self._inputs = None
@@ -246,6 +267,8 @@ class Plan:
         self._finished = False
         self._iter = 0
         self._initial_cost = c0
+        if self.verbosity:
+            print(f"[thallo_tpu] initial cost: {c0:g}")
         return c0
 
     def _all_inputs(self):
@@ -303,7 +326,10 @@ class Plan:
             while self.step():
                 pass
             jax.block_until_ready(self._U)
-        return self.cost()
+        final = self.cost()
+        if self.verbosity:
+            print(f"[thallo_tpu] final cost: {final:g} after {self._iter} iterations")
+        return final
 
     def cost(self) -> float:
         return float(self.compiled.cost_jit(self._U, self._all_inputs()))
@@ -316,6 +342,51 @@ class Plan:
         if squeeze and a.shape[-1] == 1:
             a = a[..., 0]
         return a
+
+    # -- checkpoint / resume (a capability the reference lacks:
+    # SURVEY.md §5 checkpoint/resume "None") --------------------------------
+    def save_state(self, path: str):
+        """Snapshot the solver state (unknowns + LM scalars + iteration
+        counter) to an .npz for long-solve resume."""
+        if self._U is None:
+            raise RuntimeError("nothing to save: call init() first")
+        payload = {f"U::{k}": np.asarray(v) for k, v in self._U.items()}
+        payload.update({f"ssq::{k}": np.asarray(v) for k, v in self._lm.ssq.items()})
+        payload.update(
+            iter=np.asarray(self._iter),
+            trust_region_radius=np.asarray(self._lm.trust_region_radius),
+            radius_decrease_factor=np.asarray(self._lm.radius_decrease_factor),
+            prev_cost=np.asarray(self._lm.prev_cost),
+            n_iter=np.asarray(self._lm.n_iter),
+            finished=np.asarray(self._finished),
+        )
+        np.savez(path, **payload)
+
+    def load_state(self, path: str):
+        """Restore a snapshot saved by save_state (inputs must already be
+        bound via init())."""
+        if self._inputs is None:
+            raise RuntimeError("bind inputs with init() before load_state()")
+        z = np.load(path)
+        self._U = {
+            k[len("U::"):]: jnp.asarray(z[k], self.dtype)
+            for k in z.files if k.startswith("U::")
+        }
+        ssq = {
+            k[len("ssq::"):]: jnp.asarray(z[k], self.dtype)
+            for k in z.files if k.startswith("ssq::")
+        }
+        dt = self.dtype
+        self._lm = LMState(
+            trust_region_radius=jnp.asarray(z["trust_region_radius"], dt),
+            radius_decrease_factor=jnp.asarray(z["radius_decrease_factor"], dt),
+            prev_cost=jnp.asarray(z["prev_cost"], dt),
+            n_iter=jnp.asarray(z["n_iter"], jnp.int32),
+            ssq=ssq,
+            finished=jnp.asarray(bool(z["finished"])),
+        )
+        self._iter = int(z["iter"])
+        self._finished = bool(z["finished"])
 
     def get_performance_summary(self) -> PerfSummary:
         return self.timer.summary()

@@ -157,12 +157,22 @@ class CompiledSolver:
     fixed dim sizes (the analog of the reference's compiled Plan,
     gauss_newton.t:1963-2071)."""
 
-    def __init__(self, spec, groups: List[GroupPlan], uses_lambda: bool, dtype):
+    def __init__(self, spec, groups: List[GroupPlan], uses_lambda: bool, dtype,
+                 options=None):
+        options = options or {}
         self.spec = spec
         self.groups = groups
         self.uses_lambda = uses_lambda
         self.dtype = dtype
         self.use_preconditioner = spec.use_preconditioner
+        # initialization-parameter analogs (reference
+        # initialization_parameters, gauss_newton.t:36-39)
+        self.guarded_invert_type = options.get("guarded_invert_type", "CERES")
+        self.jacobi_scaling = options.get("jacobi_scaling", "ONCE_PER_SOLVE")
+        # direct dense solve of the normal equations instead of PCG
+        # (reference enable_direct_solve / cublasDirectSolve,
+        # gauss_newton.t:22,1280-1328)
+        self.direct_solve = bool(options.get("linear_solver", "pcg") == "direct")
         self._exclude_fns = {}
         for im in spec.unknowns:
             if im.exclude_expr is not None:
@@ -240,9 +250,13 @@ class CompiledSolver:
     def make_jtjp(self, U, inputs, consts, masks, jac_store):
         """Build Ap(p) = sum_g J_g^T J_g p for the current linearization
         point, honoring each group's schedule."""
+        from ..schedule import DENSE_JTJ_MAX_UNKNOWNS
+
         inline_groups = []
         linearized = []  # (jvp_fn, vjp_fn) pairs, linearized at U once
         block_groups = []
+        dense_mats = []  # materialized J^T J (MXU gemm) for small problems
+        _, total_unknowns = self.unknown_layout()
         for gi, gp in enumerate(self.groups):
             g = gp.group
             if not g.uslots:
@@ -255,12 +269,28 @@ class CompiledSolver:
                 _, jvp_fn = jax.linearize(res_fn, U)
                 vjp_fn = jax.linear_transpose(jvp_fn, U)
                 linearized.append((jvp_fn, vjp_fn))
+            elif (
+                gp.schedule in (JTJpSchedule.PRECOMPUTE_JTJ, JTJpSchedule.PRECOMPUTE_J_THEN_JTJ)
+                and total_unknowns <= DENSE_JTJ_MAX_UNKNOWNS
+            ):
+                # true materialized J^T J (reference PCGStep1_materializedJTJ
+                # / cublas gemv path, gauss_newton.t:554-625,1216-1278)
+                _, Jg = self.dense_jacobian(U, inputs, consts, masks, [gi])
+                A = jnp.matmul(Jg.T, Jg, precision=jax.lax.Precision.HIGHEST)
+                dense_mats.append(A)
             else:
                 block_groups.append((gi, gp))
 
         def apply_jtjp(p):
             pm = tree_mul(p, self._bmask(masks))
             Ap = tree_zeros_like(p)
+            if dense_mats:
+                pflat = self.flatten_U(pm)
+                acc = None
+                for A in dense_mats:
+                    v = jnp.matmul(A, pflat, precision=jax.lax.Precision.HIGHEST)
+                    acc = v if acc is None else acc + v
+                Ap = tree_add(Ap, self.unflatten_U(acc))
             for jvp_fn, vjp_fn in linearized:
                 Jp = jvp_fn(pm)
                 (contrib,) = vjp_fn(Jp)
@@ -297,6 +327,64 @@ class CompiledSolver:
     def _bmask(self, masks):
         return masks
 
+    # -- dense Jacobian assembly (reference generateDumpJ + dense JTJ,
+    # gauss_newton.t:325-488, 498-625) --------------------------------------
+    def unknown_layout(self):
+        """(offsets dict, total): each unknown image's slice in the
+        flattened super-vector (analog of the contiguous unknown
+        allocation, thallo.t:1102-1129)."""
+        offsets = {}
+        total = 0
+        for im in self.spec.unknowns:
+            n = int(np.prod([d.size for d in im.dims])) * im.channels
+            offsets[im.name] = total
+            total += n
+        return offsets, total
+
+    def flatten_U(self, t):
+        return jnp.concatenate([t[im.name].reshape(-1) for im in self.spec.unknowns])
+
+    def unflatten_U(self, v):
+        out = {}
+        o = 0
+        for im in self.spec.unknowns:
+            shape = tuple(d.size for d in im.dims) + (im.channels,)
+            n = int(np.prod(shape))
+            out[im.name] = v[o:o + n].reshape(shape)
+            o += n
+        return out
+
+    def dense_jacobian(self, U, inputs, consts, masks, group_indices=None):
+        """Materialize J as a dense [n_residual_values, n_unknowns] matrix
+        (small problems / direct solve / JTJ-on-MXU).  Returns (r_all, J)."""
+        offsets, total = self.unknown_layout()
+        rows = []
+        jmats = []
+        sel = range(len(self.groups)) if group_indices is None else group_indices
+        for gi in sel:
+            gp, c = self.groups[gi], consts[gi]
+            g = gp.group
+            r, jacs = g.point_jacobians(U, inputs, c)
+            jacs = self._mask_jacs(g, jacs, masks, inputs)
+            nrows = g.R * g.rc
+            Jg = jnp.zeros((nrows, total), self.dtype)
+            row_ids = jnp.arange(g.R * g.rc, dtype=jnp.int32).reshape(g.R, g.rc)
+            for i in range(len(g.uslots)):
+                slot = g.uslots[i]
+                im = slot.image
+                C = im.channels
+                flat = g.slot_flat_indices(i, inputs)  # [R, *dep]
+                cols = offsets[im.name] + flat[..., None] * C + jnp.arange(C)  # [R,*dep,C]
+                J = jacs[i]  # [R, rc, *dep, C]
+                rr = jnp.broadcast_to(
+                    row_ids.reshape((g.R, g.rc) + (1,) * (J.ndim - 2)), J.shape
+                ).reshape(-1)
+                cc = jnp.broadcast_to(cols[:, None], J.shape).reshape(-1)
+                Jg = Jg.at[rr, cc].add(J.reshape(-1))
+            rows.append(r.reshape(-1))
+            jmats.append(Jg)
+        return jnp.concatenate(rows), jnp.concatenate(jmats, axis=0)
+
     def model_cost(self, U, inputs, consts, delta):
         """0.5 |r + J delta|^2 (reference createmodelcostResidualwise,
         thallo.t:3845-3865)."""
@@ -309,11 +397,17 @@ class CompiledSolver:
             total = total + jnp.sum(m * m)
         return 0.5 * total
 
-    # -- guarded invert (reference gauss_newton.t:638-667, CERES mode) -----
+    # -- guarded invert (reference gauss_newton.t:638-667) -----------------
     def guarded_invert(self, t):
-        return jax.tree_util.tree_map(
-            lambda p: 1.0 / jnp.square(1.0 + jnp.sqrt(p)), t
-        )
+        kind = getattr(self, "guarded_invert_type", "CERES")
+        if kind == "MODIFIED_CERES":
+            f = lambda p: 1.0 / (1.0 + p)  # noqa: E731
+        elif kind == "EPSILON_ADD":
+            eps = jnp.finfo(self.dtype).eps
+            f = lambda p: 1.0 / (eps + p)  # noqa: E731
+        else:  # CERES (default)
+            f = lambda p: 1.0 / jnp.square(1.0 + jnp.sqrt(p))  # noqa: E731
+        return jax.tree_util.tree_map(f, t)
 
     # -- the nonlinear step --------------------------------------------------
     def nonlinear_step(self, U, lm: LMState, inputs, sp: SolverParams):
@@ -330,7 +424,10 @@ class CompiledSolver:
         r0 = mjtf
         if self.uses_lambda:
             # PCGSaveSSq at iter 0 (JacobiScaling ONCE_PER_SOLVE,
-            # gauss_newton.t:925-930); keep previous ssq otherwise
+            # gauss_newton.t:925-930); keep previous ssq otherwise.
+            # jacobi_scaling: "ONCE_PER_SOLVE" (default) | "EVERY_ITERATION"
+            # | "NONE" (reference JacobiScalingType, gauss_newton.t:32-38)
+            scaling = getattr(self, "jacobi_scaling", "ONCE_PER_SOLVE")
             first = lm.n_iter == 0
             ssq = tree_where(first, rawdiag, lm.ssq)
             radius = lm.trust_region_radius
@@ -338,12 +435,16 @@ class CompiledSolver:
             unclamped = tree_scale(rawdiag, 1.0 / radius)
             # PCGFinalizeDiagonal (gauss_newton.t:932-971)
             def fin(unc, s):
-                inv_ssq = 1.0 / jnp.maximum(s, jnp.asarray(1e-30, dtype))
+                if scaling == "NONE":
+                    inv_ssq = 1.0
+                else:
+                    inv_ssq = 1.0 / jnp.maximum(s, jnp.asarray(1e-30, dtype))
                 mult = inv_ssq / radius
                 ctc = jnp.clip(unc, sp.min_lm_diagonal * mult, sp.max_lm_diagonal * mult)
                 return ctc
 
-            CtC = jax.tree_util.tree_map(fin, unclamped, ssq)
+            scale_src = rawdiag if scaling == "EVERY_ITERATION" else ssq
+            CtC = jax.tree_util.tree_map(fin, unclamped, scale_src)
             pre = jax.tree_util.tree_map(
                 lambda ctc, unc: 1.0 / (ctc + radius * unc), CtC, unclamped
             )
@@ -372,6 +473,24 @@ class CompiledSolver:
             if self.uses_lambda:
                 return num / den
             return jnp.where(den != 0.0, num / jnp.where(den != 0.0, den, 1.0), 0.0)
+
+        if self.direct_solve:
+            # dense LU solve of (J^T J + CtC) delta = -J^T r (reference
+            # cublasDirectSolve, gauss_newton.t:1280-1328)
+            r_all, J = self.dense_jacobian(U, inputs, consts, masks)
+            A = jnp.matmul(J.T, J, precision=jax.lax.Precision.HIGHEST)
+            mflat = self.flatten_U(
+                {k: jnp.broadcast_to(v, v.shape[:-1] + (U[k].shape[-1],))
+                 for k, v in masks.items()}
+            )
+            if self.uses_lambda:
+                A = A + jnp.diag(self.flatten_U(CtC))
+            # excluded unknowns: identity rows so the system stays regular
+            A = A + jnp.diag(1.0 - mflat)
+            gvec = jnp.matmul(J.T, r_all, precision=jax.lax.Precision.HIGHEST)
+            delta_flat = jnp.linalg.solve(A, -gvec)
+            delta = tree_mul(self.unflatten_U(delta_flat), masks)
+            return self._finish_step(U, lm, inputs, consts, delta, sp, ssq)
 
         # ---- PCG inner loop (lax.while_loop; reference gauss_newton.t:
         # 1615-1687, all reductions stay on device) ----
@@ -412,7 +531,10 @@ class CompiledSolver:
         init = (jnp.asarray(0, jnp.int32), delta0, r0, p0, alpha_num0, Q0, jnp.asarray(False))
         _, delta, _, _, _, _, _ = jax.lax.while_loop(cond_fn, body_fn, init)
         delta = tree_mul(delta, masks)
+        return self._finish_step(U, lm, inputs, consts, delta, sp, ssq)
 
+    def _finish_step(self, U, lm, inputs, consts, delta, sp, ssq):
+        dtype = self.dtype
         # ---- nonlinear finish ----
         newU = tree_add(U, delta)
         if not self.uses_lambda:
