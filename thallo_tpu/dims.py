@@ -25,6 +25,7 @@ class Dim:
     def __init__(self, name: str, index: Optional[int] = None):
         self.name = name
         self.index = index
+        self.size = None  # bound at plan() time
         self.uid = next(_uid_counter)
 
     def __call__(self) -> "IndexDomain":

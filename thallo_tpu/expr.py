@@ -327,18 +327,28 @@ def channels_of(v):
     return [toexp(v)]
 
 
+_get_cache = {}
+
+
 def _make_get(exprs, idx):
     """Build an implicit computed-array access.  The computed array's
     declared domains are the EXPRESSION's free domains (like the reference,
     which classifies the expression first, thallo.t:1868-1893); index
     arguments map to them by primary domain when the argument mentions one
     of them (e.g. B_I.get(x+1, y)), else positionally (e.g. accessing a
-    per-frame transform at a sparse index, transform.get(corr_i(c)))."""
+    per-frame transform at a sparse index, transform.get(corr_i(c))).
+    Memoized per expression so repeated gets share one computed image
+    (the reference's maybe_computed_array hash-consing)."""
     from .dims import normalize_index
     from .inputs import Image
     from .typesys import VecType
 
     comps = tuple(normalize_index(c) for c in idx)
+    ckey = tuple(id(e) for e in exprs)
+    if ckey in _get_cache:
+        im = _get_cache[ckey][0]
+        accesses = [ImageAccess(im, comps, c) for c in range(len(exprs))]
+        return accesses[0] if len(exprs) == 1 else ExpVector(accesses)
 
     # free domains of the expression, ordered by first appearance
     from .lower import Collection
@@ -372,6 +382,8 @@ def _make_get(exprs, idx):
     )
     im.expression = exprs
     im.domains = tuple(domains)
+    # keep the exprs alive so id()-keyed memoization stays valid
+    _get_cache[ckey] = (im, exprs)
     accesses = [ImageAccess(im, comps, c) for c in range(len(exprs))]
     if len(exprs) == 1:
         return accesses[0]

@@ -43,6 +43,16 @@ class Image:
         self.domains = None
         self.materialize = False
 
+    def set_materialize(self, flag: bool = True):
+        """Computed arrays only: precompute the value array once per
+        nonlinear iteration instead of inlining the expression at every
+        access (the reference's ComputedArray materialize-vs-inline
+        schedule axis, thallo.t:1777-1822, 5192-5231)."""
+        if self.kind != "computed":
+            raise ValueError("set_materialize applies to computed arrays")
+        self.materialize = bool(flag)
+        return self
+
     @property
     def channels(self):
         return self.vtype.channels

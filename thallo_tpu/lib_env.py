@@ -493,8 +493,13 @@ def make_env(spec: ProblemSpec):
             domains = [domains]
         return map_channels(lambda s: Reduction(tuple(domains), s), value)
 
-    def ComputedArray(name, dims, expr):
-        return spec.ComputedArray(name, dims, expr)
+    def ComputedArray(name, domains, expr):
+        """ComputedArray(name, [x, y], expr): a named precomputed
+        expression array over iteration domains (reference thallo.t:
+        1777-1822)."""
+        domains = list(domains)
+        dims = tuple(d.dim for d in domains)
+        return spec.ComputedArray(name, dims, expr, domains=domains)
 
     def SampledImage(image, *derivs):
         return _SampledImage(image, *derivs)

@@ -72,6 +72,7 @@ class Collection:
         self.con_domains: List[IndexDomain] = []
         self.uslots: Dict = {}  # key -> SlotSpec (unknown images)
         self.cslots: Dict = {}  # key -> SlotSpec (const arrays)
+        self.mslots: Dict = {}  # key -> SlotSpec (materialized computed arrays)
         self.bounds: Dict = {}  # key -> BoundsAccess
         self.ivals: Dict = {}  # key -> IndexValue
         self.params: Dict = {}  # name -> Param
@@ -112,9 +113,14 @@ class Collection:
         if isinstance(e, ImageAccess):
             self._comps_domains(e.comps, bound)
             im = e.image
-            if im.kind == "computed" and not im.materialize:
-                raise RuntimeError("computed arrays must be inlined before lowering")
-            target = self.uslots if im.kind == "unknown" else self.cslots
+            if im.kind == "computed":
+                if not im.materialize:
+                    raise RuntimeError("computed arrays must be inlined before lowering")
+                target = self.mslots
+            elif im.kind == "unknown":
+                target = self.uslots
+            else:
+                target = self.cslots
             k = (id(im), e.comps)
             if k not in target:
                 target[k] = SlotSpec(im, e.comps, im.kind == "unknown")
@@ -142,7 +148,7 @@ class Collection:
 
     def finalize(self):
         conset = set(self.con_domains)
-        for slots in (self.uslots, self.cslots):
+        for slots in (self.uslots, self.cslots, self.mslots):
             for s in slots.values():
                 deps = []
                 for c in s.comps:
@@ -172,23 +178,23 @@ def substitute_index(comp: AffineComp, mapping) -> AffineComp:
     return out
 
 
-def substitute_expr(e: Exp, mapping, cache=None) -> Exp:
+def substitute_expr(e: Exp, mapping, cache=None, force_inline=False) -> Exp:
     cache = cache if cache is not None else {}
     if id(e) in cache:
         return cache[id(e)]
     if isinstance(e, Const):
         r = e
     elif isinstance(e, Apply):
-        r = Apply(e.op, tuple(substitute_expr(a, mapping, cache) for a in e.args))
+        r = Apply(e.op, tuple(substitute_expr(a, mapping, cache, force_inline) for a in e.args))
     elif isinstance(e, Reduction):
-        r = Reduction(e.domains, substitute_expr(e.arg, mapping, cache))
+        r = Reduction(e.domains, substitute_expr(e.arg, mapping, cache, force_inline))
     elif isinstance(e, ImageAccess):
         comps = tuple(substitute_index(c, mapping) for c in e.comps)
         im = e.image
-        if im.kind == "computed" and not im.materialize:
+        if im.kind == "computed" and (force_inline or not im.materialize):
             # inline the computed array's defining expression at this index
             inner_map = {d: c for d, c in zip(im.domains, comps)}
-            r = substitute_expr(im.expression[e.channel], inner_map, {})
+            r = substitute_expr(im.expression[e.channel], inner_map, {}, force_inline)
         else:
             r = ImageAccess(im, comps, e.channel)
     elif isinstance(e, BoundsAccess):
@@ -199,7 +205,8 @@ def substitute_expr(e: Exp, mapping, cache=None) -> Exp:
         r = e
     elif isinstance(e, SampleAccess):
         r = SampleAccess(
-            e.sampled, tuple(substitute_expr(c, mapping, cache) for c in e.coords), e.channel
+            e.sampled, tuple(substitute_expr(c, mapping, cache, force_inline) for c in e.coords),
+            e.channel,
         )
     else:
         raise TypeError(f"unknown node {e!r}")
@@ -207,9 +214,10 @@ def substitute_expr(e: Exp, mapping, cache=None) -> Exp:
     return r
 
 
-def inline_computed(exprs: List[Exp]) -> List[Exp]:
-    """Expand inline (non-materialized) ComputedArray accesses."""
-    return [substitute_expr(e, {}, {}) for e in exprs]
+def inline_computed(exprs: List[Exp], force=False) -> List[Exp]:
+    """Expand ComputedArray accesses (all of them when force=True, else
+    only the non-materialized ones)."""
+    return [substitute_expr(e, {}, {}, force) for e in exprs]
 
 
 # ---------------------------------------------------------------------------
@@ -320,7 +328,29 @@ class LoweredGroup:
         self.R = int(np.prod(self.ext_shape)) if self.ext_shape else 1
         self.uslots: List[SlotSpec] = list(col.uslots.values())
         self.cslots: List[SlotSpec] = list(col.cslots.values())
+        self.mslots: List[SlotSpec] = list(col.mslots.values())
         self.rc = len(exprs)
+        # one sub-lowering per distinct materialized computed array: a
+        # pointwise group over the CA's declared domains whose value array
+        # is recomputed once per evaluation point ("precompute kernels",
+        # reference createprecomputed thallo.t:4046-4094)
+        self.computed_groups = {}
+        for slot in self.mslots:
+            im = slot.image
+            if im.name not in self.computed_groups:
+                for d in im.dims:
+                    if d.size is None:
+                        d.size = sizes[d.name]
+                sub = LoweredGroup(f"ca_{im.name}", list(im.expression), spec, sizes, dtype)
+                if sub.con_domains:
+                    raise ValueError(
+                        f"materialized computed array {im.name} contains a Sum; "
+                        "keep contractions in the residual"
+                    )
+                # permutation mapping the sub-group's discovered ext order
+                # to the CA's declared domain order
+                perm = [sub.ext_domains.index(d) for d in im.domains]
+                self.computed_groups[im.name] = (im, sub, perm)
         self._F = self._make_local_fn()
 
     # -- slot index machinery ----------------------------------------------
@@ -528,7 +558,9 @@ class LoweredGroup:
         con_shape = self.con_shape
         exprs = self.exprs
 
-        def F(uvals, cvals, bvals, ivals, bdeps, ideps, params, simgs):
+        mkeys = {s.key: i for i, s in enumerate(self.mslots)}
+
+        def F(uvals, mvals, cvals, bvals, ivals, bdeps, ideps, params, simgs):
             cache = {}
 
             def ev(e: Exp):
@@ -556,6 +588,9 @@ class LoweredGroup:
                     if e.image.kind == "unknown":
                         i = ukeys[k]
                         r = self._place_in_con(uvals[i][..., e.channel], self.uslots[i].dep_cons)
+                    elif e.image.kind == "computed":
+                        i = mkeys[k]
+                        r = self._place_in_con(mvals[i][..., e.channel], self.mslots[i].dep_cons)
                     else:
                         i = ckeys[k]
                         r = self._place_in_con(cvals[i][..., e.channel], self.cslots[i].dep_cons)
@@ -599,6 +634,29 @@ class LoweredGroup:
 
         return F
 
+    # -- materialized computed arrays ----------------------------------------
+    @property
+    def has_materialized(self):
+        return bool(self.mslots)
+
+    def ca_values(self, X, inputs):
+        """Value arrays of all materialized computed arrays, computed from
+        the CURRENT unknowns (differentiable: jvp/vjp flow through the
+        gather, replacing the reference's explicit gradient images,
+        thallo.t:1777-1822)."""
+        out = {}
+        for name, (im, sub, perm) in self.computed_groups.items():
+            consts = sub.prepared_consts(inputs)
+            uvals = sub.gather_all(X, inputs)
+            r = sub.residuals_from_slots(uvals, consts)  # [R, C]
+            arr = r.reshape(sub.ext_shape + (im.channels,))
+            arr = jnp.transpose(arr, tuple(perm) + (len(perm),))
+            out[name] = arr
+        return out
+
+    def gather_mslots(self, cavals, inputs):
+        return [self._gather(slot, cavals[slot.image.name], inputs) for slot in self.mslots]
+
     # -- solver-facing entry points ------------------------------------------
     def slot_flat_indices(self, i: int, inputs):
         """Flat element indices into slot i's image for every grid point:
@@ -613,22 +671,26 @@ class LoweredGroup:
     def gather_all(self, X, inputs):
         return [self.gather_slot(i, X, inputs) for i in range(len(self.uslots))]
 
-    def _vmapped(self, fn, uvals, consts):
+    def _vmapped(self, fn, uvals, consts, mvals=None):
         bdeps, ideps = consts["bdeps"], consts["ideps"]
         params, simgs = consts["params"], consts["simgs"]
+        mvals = mvals if mvals is not None else []
 
-        def point(u, c, b, iv):
-            return fn(u, c, b, iv, bdeps, ideps, params, simgs)
+        def point(u, m, c, b, iv):
+            return fn(u, m, c, b, iv, bdeps, ideps, params, simgs)
 
-        return jax.vmap(point, in_axes=(0, 0, 0, 0))(
-            uvals, consts["cvals"], consts["barrs"], consts["iarrs"]
+        return jax.vmap(point, in_axes=(0, 0, 0, 0, 0))(
+            uvals, mvals, consts["cvals"], consts["barrs"], consts["iarrs"]
         )
 
     def residuals(self, X, inputs, consts=None):
         """r(U): [R, rc]"""
         consts = consts if consts is not None else self.prepared_consts(inputs)
         uvals = self.gather_all(X, inputs)
-        return self._vmapped(self._F, uvals, consts)
+        mvals = None
+        if self.mslots:
+            mvals = self.gather_mslots(self.ca_values(X, inputs), inputs)
+        return self._vmapped(self._F, uvals, consts, mvals)
 
     def residuals_from_slots(self, uvals, consts):
         return self._vmapped(self._F, uvals, consts)
@@ -639,13 +701,18 @@ class LoweredGroup:
         The analog of the reference's symbolic per-residual partials
         (createjtfResidualwise, thallo.t:3867-3909) — computed numerically
         per external point by vmap(jacrev) of the local function."""
+        if self.mslots:
+            raise RuntimeError(
+                "point_jacobians on a group with materialized computed "
+                "arrays; use the force-inlined twin group"
+            )
         consts = consts if consts is not None else self.prepared_consts(inputs)
         uvals = self.gather_all(X, inputs)
         bdeps, ideps = consts["bdeps"], consts["ideps"]
         params, simgs = consts["params"], consts["simgs"]
 
         def point(u, c, b, iv):
-            f = lambda uu: self._F(uu, c, b, iv, bdeps, ideps, params, simgs)  # noqa: E731
+            f = lambda uu: self._F(uu, [], c, b, iv, bdeps, ideps, params, simgs)  # noqa: E731
             return f(u), jax.jacrev(f)(u)
 
         return jax.vmap(point, in_axes=(0, 0, 0, 0))(

@@ -130,7 +130,16 @@ class Plan:
             name = "_".join(nr.name for nr in nrs) if len(nrs) > 1 else name
             schedule = JTJpSchedule.LINEARIZE if auto >= 1 else nrs[0].get_schedule()
             lg = LoweredGroup(name, exprs, spec, self.dim_sizes, self.dtype)
-            groups.append(GroupPlan(name=name, group=lg, schedule=schedule))
+            twin = None
+            if lg.has_materialized:
+                from .lower import inline_computed
+
+                twin = LoweredGroup(
+                    name + "_inlined", inline_computed(exprs, force=True),
+                    spec, self.dim_sizes, self.dtype,
+                )
+            groups.append(GroupPlan(name=name, group=lg, schedule=schedule,
+                                    inline_group=twin))
 
         if auto == 1:
             from .schedule import heuristic_schedule

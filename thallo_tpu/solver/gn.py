@@ -147,6 +147,14 @@ class GroupPlan:
     name: str
     group: LoweredGroup
     schedule: JTJpSchedule
+    # force-inlined twin for jacrev-based paths when the group contains
+    # materialized computed arrays (whose chain rule the per-point
+    # jacobian doesn't see; the reference solves this with explicit
+    # gradient images, thallo.t:1777-1822)
+    inline_group: LoweredGroup = None
+
+    def jac_group(self):
+        return self.inline_group or self.group
 
 
 # ---------------------------------------------------------------------------
@@ -221,9 +229,10 @@ class CompiledSolver:
                 for im in self.spec.unknowns}
         diag = {k: jnp.zeros_like(v) for k, v in mjtf.items()}
         for gi, (gp, c) in enumerate(zip(self.groups, consts)):
-            g = gp.group
+            g = gp.jac_group()
             if not g.uslots:
                 continue
+            c = g.prepared_consts(inputs) if gp.inline_group is not None else c
             r, jacs = g.point_jacobians(U, inputs, c)
             jacs = self._mask_jacs(g, jacs, masks, inputs)
             if gp.schedule not in (JTJpSchedule.INLINE, JTJpSchedule.LINEARIZE):
@@ -308,7 +317,7 @@ class CompiledSolver:
                     if name in contrib:
                         Ap[name] = Ap[name] + contrib[name]
             for gi, gp in block_groups:
-                g = gp.group
+                g = gp.jac_group()
                 _, jacs = jac_store[gi]
                 # Jp[p, c] = sum_slots <J_slot, p_slot>
                 Jp = None
@@ -363,7 +372,8 @@ class CompiledSolver:
         sel = range(len(self.groups)) if group_indices is None else group_indices
         for gi in sel:
             gp, c = self.groups[gi], consts[gi]
-            g = gp.group
+            g = gp.jac_group()
+            c = g.prepared_consts(inputs) if gp.inline_group is not None else c
             r, jacs = g.point_jacobians(U, inputs, c)
             jacs = self._mask_jacs(g, jacs, masks, inputs)
             nrows = g.R * g.rc
