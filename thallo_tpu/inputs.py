@@ -144,9 +144,10 @@ class SampledImage:
     the analytic derivative of the interpolant itself.
     """
 
-    def __init__(self, image: Image, *derivs: Image):
+    def __init__(self, image: Image, *derivs: Image, is_array: bool = False):
         self.image = image
         self.derivs = tuple(derivs)
+        self.is_array = is_array  # SampledImageArray: (x, y, slice) sampling
         self.name = f"sampled_{image.name}"
 
     @property

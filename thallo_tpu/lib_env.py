@@ -504,6 +504,11 @@ def make_env(spec: ProblemSpec):
     def SampledImage(image, *derivs):
         return _SampledImage(image, *derivs)
 
+    def SampledImageArray(image):
+        """3-D image array sampled bilinearly within slice round(t)
+        (reference SampledImageArray, bundle_fusion_solve.t:28-29)."""
+        return _SampledImage(image, is_array=True)
+
     env.update(
         Dims=Dims,
         Inputs=Inputs,
@@ -517,6 +522,7 @@ def make_env(spec: ProblemSpec):
         Sum=Sum,
         ComputedArray=ComputedArray,
         SampledImage=SampledImage,
+        SampledImageArray=SampledImageArray,
     )
     # math / helpers
     env.update(

@@ -64,3 +64,31 @@ def _sample_jvp(primals, tangents):
     dy = bilinear_sample(dyimg, x, y)
     tan = dx * tx[..., None] + dy * ty[..., None]
     return val, tan
+
+
+def array_bilinear_sample(img: jnp.ndarray, x, y, t):
+    """Per-slice bilinear sampling of a 3-D image array [W, H, T, C] at
+    float coords (x, y) in slice round(t) (reference SampledImageArray,
+    thallo.t:5887-5923, used by bundle_fusion's InterpolatedPositions).
+    The slice index is not differentiated (it comes from an IndexValue)."""
+    T = img.shape[2]
+    ti = jnp.clip(jnp.round(jax.lax.stop_gradient(t)).astype(jnp.int32), 0, T - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    i0 = x0.astype(jnp.int32)
+    j0 = y0.astype(jnp.int32)
+    W, H = img.shape[0], img.shape[1]
+
+    def g(ix, iy):
+        ix = jnp.clip(ix, 0, W - 1)
+        iy = jnp.clip(iy, 0, H - 1)
+        return img[ix, iy, ti]
+
+    return (
+        g(i0, j0) * (1 - fx) * (1 - fy)
+        + g(i0 + 1, j0) * fx * (1 - fy)
+        + g(i0, j0 + 1) * (1 - fx) * fy
+        + g(i0 + 1, j0 + 1) * fx * fy
+    )

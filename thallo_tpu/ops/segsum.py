@@ -1,0 +1,143 @@
+"""Destination-tiled one-hot-matmul segment sum.
+
+The TPU-native replacement for the reference's warp-aggregated atomic
+scatters (/root/reference/API/src/cuda_util.t:334-429) on graph energies.
+XLA's scatter-add on TPU costs ~12 cycles/row (measured ~3.5 ms for 261k
+rows); tiny-row inverse gathers are even worse (~5x).  This formulation
+has NO scatter at all:
+
+  1. (init-time, host) sort edge indices by destination; tile the
+     destination space into windows of TILE_N segments; every tile's
+     edges are then a contiguous run of the sorted order, padded to a
+     common TE.
+  2. (on device) gather each tile's rows, build a [TE, TILE_N] one-hot of
+     the within-tile destination, and batch-matmul on the MXU:
+     partial[t] = onehot[t]^T @ data[t].  Concatenated partials ARE the
+     result — destinations are contiguous per tile, so a reshape replaces
+     the scatter.
+
+Degenerate distributions (a tile with a huge share of the rows) make TE
+explode; build_plan returns None past a padding-waste cap and callers
+fall back to jax.ops.segment_sum.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SegSumPlan:
+    gather_idx: jnp.ndarray  # [T, TE] int32 into the data rows (M = pad row)
+    rel: jnp.ndarray  # [T, TE] int32 within-tile destination (0..TILE_N-1)
+    mask: jnp.ndarray  # [T, TE, 1] {0,1}
+    # static (shape-determining) metadata, not traced
+    tile_n: int = dataclasses.field(metadata=dict(static=True), default=128)
+    num_segments: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+
+def build_plan(
+    ids: np.ndarray,
+    num_segments: int,
+    tile_n: int = 128,
+    max_waste: float = 8.0,
+) -> Optional[SegSumPlan]:
+    """Host-side static plan for `ids` (destination per row)."""
+    ids = np.asarray(ids)
+    M = ids.shape[0]
+    if M == 0:
+        return None
+    order = np.argsort(ids, kind="stable").astype(np.int32)
+    sorted_ids = ids[order]
+    T = -(-num_segments // tile_n)
+    T = -(-T // 8) * 8  # pad tile count for 8-sublane pallas blocks
+    tile_of = sorted_ids // tile_n
+    counts = np.bincount(tile_of, minlength=T)
+    te = int(counts.max())
+    TE = max(8, -(-te // 8) * 8)
+    if TE * T > max_waste * M + 8 * T:
+        return None  # too much padding: degenerate distribution
+    gather_idx = np.full((T, TE), M, np.int32)
+    rel = np.zeros((T, TE), np.int32)
+    mask = np.zeros((T, TE, 1), np.float32)
+    starts = np.cumsum(counts) - counts
+    pos = np.arange(M) - starts[tile_of]
+    gather_idx[tile_of, pos] = order
+    rel[tile_of, pos] = sorted_ids - tile_of * tile_n
+    mask[tile_of, pos] = 1.0
+    return SegSumPlan(
+        gather_idx=jnp.asarray(gather_idx),
+        rel=jnp.asarray(rel),
+        mask=jnp.asarray(mask),
+        tile_n=tile_n,
+        num_segments=num_segments,
+    )
+
+
+def tiled_segment_sum(data: jnp.ndarray, plan: SegSumPlan) -> jnp.ndarray:
+    """data: [M, C] -> [num_segments, C], scatter-free (XLA einsum
+    variant; see pallas_segment_sum for the VMEM-resident kernel)."""
+    M, C = data.shape
+    T, TE = plan.gather_idx.shape
+    padded = jnp.concatenate([data, jnp.zeros((1, C), data.dtype)], axis=0)
+    g = jnp.take(padded, plan.gather_idx.reshape(-1), axis=0).reshape(T, TE, C)
+    g = g * plan.mask
+    onehot = (
+        plan.rel[..., None]
+        == jax.lax.broadcasted_iota(jnp.int32, (T, TE, plan.tile_n), 2)
+    ).astype(data.dtype)
+    part = jnp.einsum(
+        "tek,tec->tkc", onehot, g, precision=jax.lax.Precision.HIGHEST
+    )
+    return part.reshape(T * plan.tile_n, C)[: plan.num_segments]
+
+
+def pallas_segment_sum(data: jnp.ndarray, plan: SegSumPlan, interpret=None) -> jnp.ndarray:
+    """Pallas TPU kernel: per destination tile, build the [TE, TILE_N]
+    one-hot IN VMEM and contract it against the tile's rows with one MXU
+    dot — the one-hot never touches HBM (XLA materializes it, costing
+    ~100 MB of traffic; here total HBM traffic is just the padded rows +
+    output).  The TPU answer to the reference's warp-aggregated atomic
+    scatter (cuda_util.t:334-429)."""
+    from jax.experimental import pallas as pl
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    M, C = data.shape
+    T, TE = plan.gather_idx.shape
+    TN = plan.tile_n
+    padded = jnp.concatenate([data, jnp.zeros((1, C), data.dtype)], axis=0)
+    g = jnp.take(padded, plan.gather_idx.reshape(-1), axis=0).reshape(T, TE, C)
+    g = g * plan.mask
+
+    BT = 8  # tiles per pallas block (sublane alignment)
+
+    def kernel(rel_ref, g_ref, out_ref):
+        rel = rel_ref[...]  # [BT, TE]
+        onehot = (
+            rel[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (BT, TE, TN), 2)
+        ).astype(g_ref.dtype)
+        out_ref[...] = jax.lax.dot_general(
+            onehot,
+            g_ref[...],
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+    part = pl.pallas_call(
+        kernel,
+        grid=(T // BT,),
+        in_specs=[
+            pl.BlockSpec((BT, TE), lambda t: (t, 0)),
+            pl.BlockSpec((BT, TE, C), lambda t: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((BT, TN, C), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, TN, C), data.dtype),
+        interpret=interpret,
+    )(plan.rel, g)
+    return part.reshape(T * TN, C)[: plan.num_segments]

@@ -257,6 +257,9 @@ class Plan:
         `inputs` by name."""
         self._inputs = self._normalize_inputs(inputs)
         self._U = {im.name: self._inputs[im.name] for im in self.spec.unknowns}
+        # eager (not jitted): builds host-side inverse scatter tables from
+        # the concrete sparse maps (data-dependent shapes)
+        self._prep = self.compiled.prepare(self._inputs)
         self._const_inputs = {
             k: v for k, v in self._inputs.items()
             if k not in self._U
@@ -309,7 +312,7 @@ class Plan:
         invasive = self.timing_level >= 2
         with self.timer.event("Nonlinear Iteration"):
             U, lm, stop, new_cost = self.compiled.step_jit(
-                self._U, self._lm, self._all_inputs(), self._sp()
+                self._U, self._lm, self._all_inputs(), self._sp(), self._prep
             )
             if invasive:
                 jax.block_until_ready(U)

@@ -211,6 +211,19 @@ class CompiledSolver:
     def group_consts(self, inputs):
         return [gp.group.prepared_consts(inputs) for gp in self.groups]
 
+    def prepare(self, inputs):
+        """Input-only precomputation hoisted out of the jitted step (the
+        analog of the reference's plan-time parameter binding,
+        util.t:609-643): const-slot gathers, bounds masks, index values —
+        for each group and its inline twin."""
+        return {
+            "consts": self.group_consts(inputs),
+            "twin_consts": [
+                gp.inline_group.prepared_consts(inputs) if gp.inline_group is not None else None
+                for gp in self.groups
+            ],
+        }
+
     def cost(self, U, inputs, consts=None):
         """0.5 * sum of squared residuals (reference createcost,
         thallo.t:3939-3948)."""
@@ -222,7 +235,7 @@ class CompiledSolver:
         return 0.5 * total
 
     # -- J^T F + diag(J^T J) -------------------------------------------------
-    def jtf_and_diag(self, U, inputs, consts, masks, jac_store):
+    def jtf_and_diag(self, U, inputs, consts, masks, jac_store, twin_consts=None):
         """Returns (minus_jtf, diag, jac_store).  jac_store caches per-point
         Jacobian blocks for groups whose schedule materializes J."""
         mjtf = {im.name: jnp.zeros(tuple(d.size for d in im.dims) + (im.channels,), self.dtype)
@@ -232,7 +245,9 @@ class CompiledSolver:
             g = gp.jac_group()
             if not g.uslots:
                 continue
-            c = g.prepared_consts(inputs) if gp.inline_group is not None else c
+            if gp.inline_group is not None:
+                c = (twin_consts[gi] if twin_consts and twin_consts[gi] is not None
+                     else g.prepared_consts(inputs))
             r, jacs = g.point_jacobians(U, inputs, c)
             jacs = self._mask_jacs(g, jacs, masks, inputs)
             if gp.schedule not in (JTJpSchedule.INLINE, JTJpSchedule.LINEARIZE):
@@ -244,8 +259,8 @@ class CompiledSolver:
                 jtr = jnp.einsum("pc...,pc->p...", J, r, precision=jax.lax.Precision.HIGHEST)
                 d2 = jnp.sum(J * J, axis=1)
                 name = g.uslots[i].image.name
-                mjtf[name] = mjtf[name] - g.scatter_slot(i, jtr, inputs)
-                diag[name] = diag[name] + g.scatter_slot(i, d2, inputs)
+                mjtf[name] = mjtf[name] - g.scatter_slot(i, jtr, inputs, c)
+                diag[name] = diag[name] + g.scatter_slot(i, d2, inputs, c)
         return mjtf, diag, jac_store
 
     def _mask_jacs(self, g, jacs, masks, inputs):
@@ -256,7 +271,7 @@ class CompiledSolver:
         return out
 
     # -- J^T J p -------------------------------------------------------------
-    def make_jtjp(self, U, inputs, consts, masks, jac_store):
+    def make_jtjp(self, U, inputs, consts, masks, jac_store, twin_consts=None):
         """Build Ap(p) = sum_g J_g^T J_g p for the current linearization
         point, honoring each group's schedule."""
         from ..schedule import DENSE_JTJ_MAX_UNKNOWNS
@@ -318,17 +333,19 @@ class CompiledSolver:
                         Ap[name] = Ap[name] + contrib[name]
             for gi, gp in block_groups:
                 g = gp.jac_group()
+                gc = (twin_consts[gi] if gp.inline_group is not None and twin_consts
+                      and twin_consts[gi] is not None else consts[gi])
                 _, jacs = jac_store[gi]
                 # Jp[p, c] = sum_slots <J_slot, p_slot>
                 Jp = None
-                pvals = [g.gather_slot(i, pm, inputs) for i in range(len(g.uslots))]
+                pvals = [g.gather_slot(i, pm, inputs, gc) for i in range(len(g.uslots))]
                 for i in range(len(g.uslots)):
                     term = jnp.einsum("pc...,p...->pc", jacs[i], pvals[i], precision=jax.lax.Precision.HIGHEST)
                     Jp = term if Jp is None else Jp + term
                 for i in range(len(g.uslots)):
                     contrib = jnp.einsum("pc...,pc->p...", jacs[i], Jp, precision=jax.lax.Precision.HIGHEST)
                     name = g.uslots[i].image.name
-                    Ap[name] = Ap[name] + g.scatter_slot(i, contrib, inputs)
+                    Ap[name] = Ap[name] + g.scatter_slot(i, contrib, inputs, gc)
             return tree_mul(Ap, self._bmask(masks))
 
         return apply_jtjp
@@ -420,17 +437,20 @@ class CompiledSolver:
         return jax.tree_util.tree_map(f, t)
 
     # -- the nonlinear step --------------------------------------------------
-    def nonlinear_step(self, U, lm: LMState, inputs, sp: SolverParams):
+    def nonlinear_step(self, U, lm: LMState, inputs, sp: SolverParams, prep=None):
         """One Gauss-Newton / LM iteration: setup + full PCG inner loop +
         update (+ trust region accept/revert for LM).  Entirely on device;
         mirrors the reference's step(), gauss_newton.t:1545-1785."""
         dtype = self.dtype
-        consts = self.group_consts(inputs)
+        prep = prep if prep is not None else self.prepare(inputs)
+        consts = prep["consts"]
+        twin_consts = prep["twin_consts"]
         masks = self.masks(inputs, U)
         jac_store = {}
 
         # ---- nonlinear setup: r0 = -J^T F, preconditioner ----
-        mjtf, rawdiag, jac_store = self.jtf_and_diag(U, inputs, consts, masks, jac_store)
+        mjtf, rawdiag, jac_store = self.jtf_and_diag(
+            U, inputs, consts, masks, jac_store, twin_consts)
         r0 = mjtf
         if self.uses_lambda:
             # PCGSaveSSq at iter 0 (JacobiScaling ONCE_PER_SOLVE,
@@ -471,7 +491,7 @@ class CompiledSolver:
         delta0 = tree_zeros_like(r0)
         Q0 = jnp.asarray(0.0, dtype)  # 0.5*delta.(r+b) with delta=0
 
-        apply_jtjp = self.make_jtjp(U, inputs, consts, masks, jac_store)
+        apply_jtjp = self.make_jtjp(U, inputs, consts, masks, jac_store, twin_consts)
 
         def damped(pvec):
             Ap = apply_jtjp(pvec)
