@@ -182,3 +182,19 @@ def test_sparse_bundle_fusion_pose_graph():
         rel_got = np.linalg.inv(got[i]) @ got[i + 1]
         rel_want = np.linalg.inv(want[i]) @ want[i + 1]
         np.testing.assert_allclose(rel_got, rel_want, atol=2e-2)
+
+
+def test_shape_and_shading():
+    from thallo_tpu.models import shape_and_shading
+
+    spec = shape_and_shading.make_spec()
+    inputs = shape_and_shading.synthetic_inputs(20, 20)
+    plan = spec.plan({"W": 20, "H": 20, "U": 1}, solver="levenberg_marquardt")
+    plan.set_solver_parameter("nIterations", 30)
+    plan.set_solver_parameter("lIterations", 30)
+    c0 = plan.init(inputs)
+    final = plan.solve()
+    assert final < 0.3 * c0
+    # SH lighting unknowns moved away from the flat init
+    ell = np.asarray(plan.get_unknown("ell", squeeze=False))
+    assert np.abs(ell[0, 1:]).max() > 1e-4

@@ -11,6 +11,7 @@ from . import optical_flow  # noqa: F401
 from . import poisson_image_editing  # noqa: F401
 from . import procrustes_alignment  # noqa: F401
 from . import robust_nonrigid_alignment  # noqa: F401
+from . import shape_and_shading  # noqa: F401
 from . import shape_from_shading  # noqa: F401
 from . import sparse_bundle_fusion  # noqa: F401
 from . import spatially_varying_deconvolution  # noqa: F401
@@ -30,6 +31,7 @@ REGISTRY = {
     "spatially_varying_deconvolution": spatially_varying_deconvolution,
     "face_fitting": face_fitting,
     "shape_from_shading": shape_from_shading,
+    "shape_and_shading": shape_and_shading,
     "intrinsic_image_decomposition": intrinsic_image_decomposition,
     "sparse_bundle_fusion": sparse_bundle_fusion,
 }

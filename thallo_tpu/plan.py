@@ -87,7 +87,8 @@ class Plan:
         # exauto_index loop, thallo.t:5427-5530)
         _known = {"use_autoscheduler", "lin_iter_hint", "solver_parameters",
                   "timing_level", "verbosity", "guarded_invert_type",
-                  "jacobi_scaling", "linear_solver"}
+                  "jacobi_scaling", "linear_solver", "trace_dir",
+                  "profile_compile", "debug_check_finite"}
         bad = set(options) - _known
         if bad:
             raise ValueError(f"unknown plan option(s): {sorted(bad)}")
@@ -165,7 +166,20 @@ class Plan:
                  + ", ".join(f"{gp.name}={s.value}" for gp, s in zip(groups, combos[idx]))]
             )
 
-        self.compiled = CompiledSolver(spec, groups, uses_lambda, self.dtype, options)
+        if options.get("profile_compile"):
+            # compile-time profiler (the analog of the reference's Lua
+            # sampling profiler around planning, profile_plan
+            # thallo.t:19,1386-1429 / pprofiler.t)
+            import cProfile
+            import pstats
+
+            prof = cProfile.Profile()
+            prof.enable()
+            self.compiled = CompiledSolver(spec, groups, uses_lambda, self.dtype, options)
+            prof.disable()
+            pstats.Stats(prof).sort_stats("cumulative").print_stats(15)
+        else:
+            self.compiled = CompiledSolver(spec, groups, uses_lambda, self.dtype, options)
         self.group_names = [g.name for g in groups]
         if int(options.get("verbosity", 0)):
             for gp in groups:
@@ -177,6 +191,12 @@ class Plan:
         self.solver_parameters.update(options.get("solver_parameters", {}))
         self.timing_level = int(options.get("timing_level", 1))
         self.verbosity = int(options.get("verbosity", 0))
+        # jax.profiler trace of the solve (the analog of the reference's
+        # timingLevel>=2 CUDA-event kernel traces, util.t:774-790)
+        self.trace_dir = options.get("trace_dir")
+        # host-side non-finite guard each step (the reference's defensive
+        # debugging tier, SURVEY.md §5 race-detection/sanitizers)
+        self.debug_check_finite = bool(options.get("debug_check_finite", False))
         self._sp_cache = None
         self.timer = Timer()
         self._inputs = None
@@ -318,6 +338,12 @@ class Plan:
                 jax.block_until_ready(U)
         self._U, self._lm = U, lm
         self._iter += 1
+        if self.debug_check_finite:
+            bad = [k for k, v in U.items() if not bool(jnp.isfinite(v).all())]
+            if bad:
+                raise FloatingPointError(
+                    f"non-finite unknowns after iteration {self._iter}: {bad}"
+                )
         if self.compiled.uses_lambda and bool(stop):
             self._finished = True
             return False
@@ -334,7 +360,12 @@ class Plan:
             self.init(inputs)
         if self._inputs is None:
             raise RuntimeError("call init() first")
-        with self.timer.event("Total"):
+        import contextlib
+
+        tracer = (
+            jax.profiler.trace(self.trace_dir) if self.trace_dir else contextlib.nullcontext()
+        )
+        with tracer, self.timer.event("Total"):
             while self.step():
                 pass
             jax.block_until_ready(self._U)

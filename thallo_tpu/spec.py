@@ -91,6 +91,19 @@ class NamedResidual:
         self._reorder = list(domains)
         return self
 
+    def split(self, domain, factor):
+        """Domain-split hint (reference split/full_split, thallo.t:
+        5678-5727: blocks a domain's iteration for GPU tiling).  XLA/
+        Mosaic own tiling on TPU; recorded as metadata only."""
+        self._splits = getattr(self, "_splits", [])
+        self._splits.append((domain, int(factor)))
+        return self
+
+    def full_split(self):
+        """See split()."""
+        self._splits = getattr(self, "_splits", []) + ["full"]
+        return self
+
     def compute_at_output(self, flag=True):
         self._compute_at_output["self"] = bool(flag)
         return self
