@@ -43,6 +43,29 @@ def bench_image_warping(W=512, H=512, n_steps=8, l_iters=16):
     return pcg_iters / dt
 
 
+def bench_bundle_adjustment(n_cameras=64, n_points=8192, n_steps=6, l_iters=16):
+    """The second north-star workload (BASELINE.json): Snavely BA."""
+    from thallo_tpu.models import bundle_adjustment as ba
+
+    inputs, _ = ba.synthetic_inputs(n_cameras=n_cameras, n_points=n_points, obs_per_point=4)
+    O = len(inputs["oToC"])
+    spec = ba.make_spec()
+    plan = spec.plan({"C": n_cameras, "P": n_points, "O": O}, solver="levenberg_marquardt")
+    plan.set_solver_parameter("nIterations", 10_000)
+    plan.set_solver_parameter("lIterations", l_iters)
+    plan.set_solver_parameter("q_tolerance", 0.0)  # keep the inner loop full
+    plan.set_solver_parameter("function_tolerance", 0.0)
+    plan.init(inputs)
+    plan.step()
+    jax.block_until_ready(plan._U)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        plan.step()
+    jax.block_until_ready(plan._U)
+    dt = time.perf_counter() - t0
+    return n_steps * l_iters / dt, O
+
+
 def main():
     try:
         v = bench_image_warping()
@@ -52,6 +75,14 @@ def main():
             "unit": "PCG iters/s",
             "vs_baseline": round(v / BASELINE_PCG_ITERS_PER_S, 4),
         }
+        try:
+            ba_v, n_obs = bench_bundle_adjustment()
+            out["extra"] = {
+                "bundle_adjustment_pcg_iters_per_s": round(ba_v, 2),
+                "bundle_adjustment_observations": n_obs,
+            }
+        except Exception as e:  # noqa: BLE001
+            out["extra"] = {"bundle_adjustment_error": str(e)[:120]}
     except Exception as e:  # noqa: BLE001
         out = {
             "metric": "image_warping_512_pcg_iters_per_s",

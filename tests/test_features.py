@@ -8,7 +8,7 @@ import pytest
 
 import thallo_tpu as tl
 
-from tests.util import dense_gn_solve, dense_jacobian, flatten_tree
+from tests.util import dense_gn_solve, dense_jacobian
 
 
 # ---------------------------------------------------------------------------

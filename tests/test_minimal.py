@@ -7,7 +7,6 @@ import jax.numpy as jnp
 import pytest
 
 import thallo_tpu as tl
-from thallo_tpu.solver.gn import tree_zeros_like
 
 from tests.util import dense_gn_solve, dense_jacobian, flatten_tree
 

@@ -4,7 +4,6 @@ bundle_adjustment) on synthetic data.  The correctness bar mirrors the
 reference's Ceres-comparison harness: the energy must drop by orders of
 magnitude and recover ground truth where one exists."""
 import numpy as np
-import pytest
 
 from thallo_tpu.models import (
     arap_mesh_deformation,

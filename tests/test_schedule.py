@@ -2,7 +2,6 @@
 answer-invariance across schedules (the reference's core property:
 scheduling changes performance, never results)."""
 import numpy as np
-import pytest
 
 import thallo_tpu as tl
 from thallo_tpu.spec import JTJpSchedule

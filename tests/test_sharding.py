@@ -50,8 +50,6 @@ def test_2d_sharded_solve_matches():
 @needs_devices
 def test_graph_sharded_solve():
     """Graph energy (ARAP) with replicated edges, sharded vertices."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     from thallo_tpu.models import arap_mesh_deformation as arap
 
     side = 8

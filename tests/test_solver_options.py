@@ -7,10 +7,8 @@ import os
 import tempfile
 
 import numpy as np
-import jax.numpy as jnp
 
 import thallo_tpu as tl
-from tests.util import dense_gn_solve
 
 LAPLACIAN = """
 W, H = Dims("W", "H")

@@ -1,0 +1,104 @@
+"""Primitive-level unit tests — the analog of the reference's CUDA
+warp-primitive tests (tests/cuda_unit_tests/: ballot/get_peers/
+reduce_peers assert warp reduction machinery).  Here the machinery is
+roll-gather/inverse-roll-scatter, segment scatter, the tiled segment sum,
+and the compile-only harness."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import thallo_tpu as tl
+from thallo_tpu.ops.segsum import build_plan, pallas_segment_sum, tiled_segment_sum
+
+
+def _laplacian_group(n=8):
+    spec = tl.load_energy(
+        """
+W, H = Dims("W", "H")
+Inputs(X=Unknown(float2, (W, H), 0), A=Array(float2, (W, H), 1))
+x, y = W(), H()
+r = Residuals(reg=X(x + 1, y - 2) - A(x, y))
+"""
+    )
+    plan = spec.plan({"W": n, "H": n})
+    return plan.compiled.groups[0].group
+
+
+def test_roll_gather_scatter_adjoint():
+    """<gather(x), y> == <x, scatter(y)> for the roll fast path."""
+    g = _laplacian_group(8)
+    rng = np.random.RandomState(0)
+    X = {"X": jnp.asarray(rng.randn(8, 8, 2).astype(np.float32))}
+    y = jnp.asarray(rng.randn(g.R, 2).astype(np.float32))
+    gx = g.gather_slot(0, X, {})
+    sy = g.scatter_slot(0, y, {})
+    lhs = float(jnp.vdot(gx, y))
+    rhs = float(jnp.vdot(X["X"], sy))
+    assert np.isclose(lhs, rhs, rtol=1e-5)
+
+
+def test_roll_gather_wraps():
+    """Gather of X(x+1, y-2) equals jnp.roll semantics (torus)."""
+    g = _laplacian_group(8)
+    rng = np.random.RandomState(1)
+    Xv = rng.randn(8, 8, 2).astype(np.float32)
+    out = np.asarray(g.gather_slot(0, {"X": jnp.asarray(Xv)}, {})).reshape(8, 8, 2)
+    expected = np.roll(np.roll(Xv, -1, axis=0), 2, axis=1)
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+def test_tiled_segment_sum_matches_xla():
+    rng = np.random.RandomState(2)
+    for M, S in [(1000, 257), (5000, 64), (128, 4096)]:
+        ids = rng.randint(0, S, size=M).astype(np.int32)
+        data = rng.randn(M, 3).astype(np.float32)
+        plan = build_plan(ids, S)
+        want = np.asarray(jax.ops.segment_sum(jnp.asarray(data), jnp.asarray(ids), num_segments=S))
+        got_e = np.asarray(tiled_segment_sum(jnp.asarray(data), plan))
+        got_p = np.asarray(pallas_segment_sum(jnp.asarray(data), plan))
+        np.testing.assert_allclose(got_e, want, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(got_p, want, rtol=1e-4, atol=1e-5)
+
+
+def test_tiled_plan_rejects_degenerate():
+    # all rows into one segment: padding waste explodes -> fallback
+    ids = np.zeros(100000, np.int32)
+    assert build_plan(ids, 100000) is None
+
+
+def test_compile_check_harness(tmp_path):
+    """The compile-only energy harness (reference energy_unit_tests/
+    compile.t)."""
+    from thallo_tpu.utils.compile_check import compile_check
+
+    p = tmp_path / "energy.py"
+    p.write_text(
+        """
+W, H = Dims("W", "H")
+Inputs(X=Unknown(float, (W, H), 0), A=Array(float, (W, H), 1))
+x, y = W(), H()
+r = Residuals(fit=X(x, y) - A(x, y))
+"""
+    )
+    plan = compile_check(str(p), default_dim=16)
+    assert len(plan.compiled.groups) == 1
+
+
+def test_bilinear_sample_interior():
+    from thallo_tpu.ops.sampling import bilinear_sample
+
+    img = jnp.arange(16.0).reshape(4, 4, 1)
+    # exact lattice points
+    v = bilinear_sample(img, jnp.asarray([1.0]), jnp.asarray([2.0]))
+    assert np.isclose(float(v[0, 0]), 6.0)
+    # midpoint
+    v = bilinear_sample(img, jnp.asarray([1.5]), jnp.asarray([2.0]))
+    assert np.isclose(float(v[0, 0]), 8.0)
+
+
+def test_array_sample_slices():
+    from thallo_tpu.ops.sampling import array_bilinear_sample
+
+    img = jnp.stack([jnp.full((4, 4, 1), float(t)) for t in range(3)], axis=2)  # [4,4,3,1]
+    v = array_bilinear_sample(img, jnp.asarray([1.2]), jnp.asarray([2.2]), jnp.asarray([1.0]))
+    assert np.isclose(float(v[0, 0]), 1.0)

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import math as _math
 
-from .dims import AffineComp, IndexDomain, SparseComp, normalize_index
+from .dims import AffineComp, IndexDomain, normalize_index
 from .expr import (
     Apply,
     BoundsAccess,

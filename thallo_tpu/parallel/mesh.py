@@ -44,26 +44,6 @@ def make_mesh(n_devices: Optional[int] = None, axis_names=("x",), shape=None) ->
     return Mesh(np.asarray(devs).reshape(shape), axis_names)
 
 
-def _spec_for(shape, mesh: Mesh, dim_axes: Dict[str, int], dims) -> P:
-    """PartitionSpec for an image array [*dims, C]: shard each array axis
-    whose Dim is mapped to a mesh axis (and divides evenly)."""
-    parts = []
-    used = set()
-    for i, d in enumerate(dims):
-        ax = dim_axes.get(d.name)
-        if (
-            ax is not None
-            and ax not in used
-            and shape[i] % mesh.shape[ax] == 0
-        ):
-            parts.append(ax)
-            used.add(ax)
-        else:
-            parts.append(None)
-    parts.append(None)  # channel axis
-    return P(*parts)
-
-
 def shard_plan_inputs(plan, mesh: Mesh, dim_axes: Dict[str, int] = None):
     """Place a plan's bound inputs/unknowns onto the mesh.
 

@@ -7,7 +7,6 @@ get_summary; string-keyed solver parameters
 """
 from __future__ import annotations
 
-import time
 from typing import Dict, Optional
 
 import jax

@@ -33,8 +33,7 @@ TPU-first differences by design:
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Dict, List, NamedTuple
+from typing import Any, List, NamedTuple
 
 import jax
 import jax.numpy as jnp

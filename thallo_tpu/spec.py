@@ -19,8 +19,8 @@ import enum
 from typing import Dict, List, Optional
 
 from .dims import Dim
-from .expr import Exp, ExpVector, channels, toexp
-from .inputs import Image, Param, SampledImage, SparseMap
+from .expr import Exp, channels, toexp
+from .inputs import Image, Param, SparseMap
 from .typesys import as_vectype
 
 
