@@ -102,3 +102,25 @@ def test_array_sample_slices():
     img = jnp.stack([jnp.full((4, 4, 1), float(t)) for t in range(3)], axis=2)  # [4,4,3,1]
     v = array_bilinear_sample(img, jnp.asarray([1.2]), jnp.asarray([2.2]), jnp.asarray([1.0]))
     assert np.isclose(float(v[0, 0]), 1.0)
+
+
+def test_jacobian_export_matches_dense():
+    spec = tl.load_energy(
+        """
+W, H = Dims("W", "H")
+Inputs(X=Unknown(float, (W, H), 0), A=Array(float, (W, H), 1))
+x, y = W(), H()
+r = Residuals(fit=0.4 * (X(x, y) - A(x, y)),
+              reg=Select(InBounds(x + 1, y), X(x, y) - X(x + 1, y), 0))
+"""
+    )
+    rng = np.random.RandomState(3)
+    t = rng.rand(6, 6).astype(np.float32)
+    plan = spec.plan({"W": 6, "H": 6})
+    plan.init({"X": (t * 0.7).copy(), "A": t})
+    r_d, J_d = plan.jacobian(dense=True)
+    r_c, rows, cols, vals, shape = plan.jacobian(dense=False)
+    np.testing.assert_allclose(np.asarray(r_d), np.asarray(r_c))
+    dense_from_coo = np.zeros(shape, np.float32)
+    np.add.at(dense_from_coo, (np.asarray(rows), np.asarray(cols)), np.asarray(vals))
+    np.testing.assert_allclose(np.asarray(J_d), dense_from_coo, rtol=1e-5, atol=1e-6)

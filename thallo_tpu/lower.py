@@ -453,8 +453,15 @@ class LoweredGroup:
             return v.reshape((self.R, C))
         flat = self._slot_flat_indices(slot, inputs)
         src = img.reshape(-1, C)
+        S = src.shape[0]
+        from .ops.segsum import ONEHOT_MAX_SEGMENTS, gather_with_onehot_transpose
+
         if stable is not None:
             vals = gather_with_segsum(src, flat.reshape(-1), stable)
+        elif S <= ONEHOT_MAX_SEGMENTS and flat.size > 4 * S:
+            # small target image gathered from a large domain: make the AD
+            # transpose a one-hot MXU matmul instead of a row scatter
+            vals = gather_with_onehot_transpose(src, flat.reshape(-1), S)
         else:
             vals = src.at[flat.reshape(-1)].get(mode="promise_in_bounds")
         dep_shape = tuple(d.dim.size for d in slot.dep_cons)
@@ -503,6 +510,12 @@ class LoweredGroup:
             from .ops.segsum import pallas_segment_sum
 
             return pallas_segment_sum(data, stable).reshape(imshape)
+        Sseg = int(np.prod(imshape[:-1]))
+        if Sseg <= 1024 and data.shape[0] > 4 * Sseg:
+            from .ops.segsum import onehot_segment_sum
+
+            flat = self._slot_flat_indices(slot, inputs)
+            return onehot_segment_sum(data, flat.reshape(-1), Sseg).reshape(imshape)
         flat = self._slot_flat_indices(slot, inputs)
         seg = jax.ops.segment_sum(
             data, flat.reshape(-1), num_segments=int(np.prod(imshape[:-1]))

@@ -79,6 +79,42 @@ def build_plan(
     )
 
 
+ONEHOT_MAX_SEGMENTS = 1024
+
+
+def onehot_segment_sum(data: jnp.ndarray, ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+    """Exact scatter-free segment sum for SMALL segment counts: one dense
+    one-hot matmul on the MXU.  For num_segments <= ~1k the one-hot
+    [M, S] is a few MB and the matmul is ~microseconds, vs ~12 cycles/row
+    for XLA's scatter (measured 3.5 ms at M=261k).  This is the common
+    shape for camera/pose/weight unknowns gathered from large observation
+    domains (bundle adjustment cameras, blendshape weights, procrustes)."""
+    onehot = (
+        ids[:, None] == jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], num_segments), 1)
+    ).astype(data.dtype)
+    return jax.lax.dot_general(
+        onehot,
+        data,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def gather_with_onehot_transpose(src, idx, num_segments):
+    """Linear gather src[idx] whose transpose is the one-hot matmul
+    segment sum (for small src row counts)."""
+
+    def fwd(res, x):
+        (i,) = res
+        return jnp.take(x, i, axis=0)
+
+    def trans(res, ct):
+        (i,) = res
+        return onehot_segment_sum(ct, i, num_segments)
+
+    return jax.custom_derivatives.linear_call(fwd, trans, (idx,), src)
+
+
 def tiled_segment_sum(data: jnp.ndarray, plan: SegSumPlan) -> jnp.ndarray:
     """data: [M, C] -> [num_segments, C], scatter-free (XLA einsum
     variant; see pallas_segment_sum for the VMEM-resident kernel)."""

@@ -430,6 +430,21 @@ class Plan:
         self._iter = int(z["iter"])
         self._finished = bool(z["finished"])
 
+    def jacobian(self, dense: bool = False):
+        """Materialize the current Jacobian: dense [n_res, n_unknowns] or
+        COO (residuals, rows, cols, vals, shape) — the analog of the
+        reference's J dump path (computeJ/CSR, gauss_newton.t:325-488)."""
+        if self._inputs is None:
+            raise RuntimeError("call init() first")
+        comp = self.compiled
+        ins = self._all_inputs()
+        consts = self._prep["consts"]
+        masks = comp.masks(ins, self._U)
+        if dense:
+            r, J = comp.dense_jacobian(self._U, ins, consts, masks)
+            return r, J
+        return comp.coo_jacobian(self._U, ins, consts, masks)
+
     def get_performance_summary(self) -> PerfSummary:
         return self.timer.summary()
 

@@ -411,6 +411,45 @@ class CompiledSolver:
             jmats.append(Jg)
         return jnp.concatenate(rows), jnp.concatenate(jmats, axis=0)
 
+    def coo_jacobian(self, U, inputs, consts, masks):
+        """Materialize J in COO form (rows, cols, vals) + residual vector —
+        the analog of the reference's CSR J dump for cuSPARSE
+        (generateDumpJ, gauss_newton.t:325-488), for users doing external
+        linear algebra.  Rows are globally numbered across groups; cols
+        index the flattened unknown super-vector."""
+        offsets, total = self.unknown_layout()
+        rows_l, cols_l, vals_l, res_l = [], [], [], []
+        row_base = 0
+        for gi, gp in enumerate(self.groups):
+            g = gp.jac_group()
+            c = consts[gi] if gp.inline_group is None else g.prepared_consts(inputs)
+            r, jacs = g.point_jacobians(U, inputs, c)
+            jacs = self._mask_jacs(g, jacs, masks, inputs)
+            row_ids = row_base + jnp.arange(g.R * g.rc, dtype=jnp.int32).reshape(g.R, g.rc)
+            for i in range(len(g.uslots)):
+                slot = g.uslots[i]
+                im = slot.image
+                C = im.channels
+                flat = g.slot_flat_indices(i, inputs)
+                cols = offsets[im.name] + flat[..., None] * C + jnp.arange(C)
+                J = jacs[i]
+                rr = jnp.broadcast_to(
+                    row_ids.reshape((g.R, g.rc) + (1,) * (J.ndim - 2)), J.shape
+                ).reshape(-1)
+                cc = jnp.broadcast_to(cols[:, None], J.shape).reshape(-1)
+                rows_l.append(rr)
+                cols_l.append(cc)
+                vals_l.append(J.reshape(-1))
+            res_l.append(r.reshape(-1))
+            row_base += g.R * g.rc
+        return (
+            jnp.concatenate(res_l),
+            jnp.concatenate(rows_l),
+            jnp.concatenate(cols_l),
+            jnp.concatenate(vals_l),
+            (row_base, total),
+        )
+
     def model_cost(self, U, inputs, consts, delta):
         """0.5 |r + J delta|^2 (reference createmodelcostResidualwise,
         thallo.t:3845-3865)."""
