@@ -72,3 +72,26 @@ def test_mode2_clears_to_default():
     spec = tl.load_energy(LAPLACIAN)
     plan = spec.plan({"W": 10, "H": 10}, use_autoscheduler=2)
     assert all(gp.schedule == JTJpSchedule.LINEARIZE for gp in plan.compiled.groups)
+
+
+def test_autoschedule_search_measures_all():
+    """Compile-and-measure exhaustive search (reference's exauto loop)."""
+    from thallo_tpu.autotune import autoschedule_search
+
+    def make_inputs():
+        return _inputs(10)
+
+    plan, results = autoschedule_search(
+        lambda: tl.load_energy(LAPLACIAN),
+        {"W": 10, "H": 10},
+        make_inputs,
+        n_steps=2,
+        l_iters=5,
+        log_path="/tmp/sched_search.txt",
+        verbose=False,
+    )
+    # exhaustive mode clears directives -> one merged group, 4 candidates
+    assert len(results) == 4
+    assert all(dt > 0 for _, _, dt in results)
+    final = plan.solve()
+    assert final > 0

@@ -73,3 +73,32 @@ def test_graph_sharded_solve():
     f0 = run(False)
     f1 = run(True)
     assert np.isclose(f0, f1, rtol=1e-3)
+
+
+@needs_devices
+def test_graph_edge_sharded_solve():
+    """ARAP with the EDGE domain sharded (residual-domain decomposition:
+    per-shard partial J^T F / J^T Jp reduced by XLA collectives)."""
+    from thallo_tpu.models import arap_mesh_deformation as arap
+
+    side = 8
+    N = side * side
+    inputs = arap.synthetic_inputs(side=side)
+    E = len(inputs["V0"])
+
+    def run(shard):
+        spec = arap.make_spec()
+        plan = spec.plan({"N": N, "E": E}, solver="levenberg_marquardt")
+        plan.set_solver_parameter("nIterations", 5)
+        plan.set_solver_parameter("lIterations", 10)
+        plan.init(arap.synthetic_inputs(side=side))
+        if shard:
+            mesh = make_mesh(8, axis_names=("x",))
+            shard_plan_inputs(plan, mesh, dim_axes={"E": "x"})
+            with mesh:
+                return plan.solve()
+        return plan.solve()
+
+    f0 = run(False)
+    f1 = run(True)
+    assert np.isclose(f0, f1, rtol=1e-3)

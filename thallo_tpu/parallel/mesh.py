@@ -74,11 +74,29 @@ def shard_plan_inputs(plan, mesh: Mesh, dim_axes: Dict[str, int] = None):
         parts.append(None)
         return jax.device_put(arr, NamedSharding(mesh, P(*parts)))
 
+    def place_sparse(sm, arr):
+        # shard the in-space (edge/observation) axes: residual-domain
+        # decomposition; per-shard partial scatters reduce via XLA
+        parts = []
+        used = set()
+        for i, d in enumerate(sm.in_dims):
+            ax = name_axes.get(d.name)
+            if ax is not None and ax not in used and arr.shape[i] % mesh.shape[ax] == 0:
+                parts.append(ax)
+                used.add(ax)
+            else:
+                parts.append(None)
+        parts += [None] * (arr.ndim - len(sm.in_dims))
+        return jax.device_put(arr, NamedSharding(mesh, P(*parts)))
+
     images = {im.name: im for im in list(spec.unknowns) + list(spec.arrays)}
+    smaps = {sm.name: sm for sm in spec.sparse_maps}
     new_inputs = {}
     for k, v in plan._inputs.items():
         if k in images:
             new_inputs[k] = place_image(images[k], v)
+        elif k in smaps:
+            new_inputs[k] = place_sparse(smaps[k], v)
         else:
             new_inputs[k] = jax.device_put(v, NamedSharding(mesh, P()))
     plan._inputs = new_inputs
