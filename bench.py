@@ -19,7 +19,7 @@ import jax
 BASELINE_PCG_ITERS_PER_S = 1000.0
 
 
-def bench_image_warping(W=512, H=512, n_steps=8, l_iters=16):
+def bench_image_warping(W=512, H=512, n_steps=32, l_iters=16):
     from thallo_tpu.models import image_warping
 
     spec = image_warping.make_spec()
@@ -29,13 +29,12 @@ def bench_image_warping(W=512, H=512, n_steps=8, l_iters=16):
     inputs = image_warping.synthetic_inputs(W, H, w_fit=100.0, w_reg=0.01)
     plan.init(inputs)
 
-    # warm up (compile)
-    plan.step()
+    # warm up (compiles the donated fast-path executable)
+    plan.run_steps(1)
     jax.block_until_ready(plan._U)
 
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        plan.step()
+    plan.run_steps(n_steps)  # donated tight loop (GN has no device stop)
     jax.block_until_ready(plan._U)
     dt = time.perf_counter() - t0
 
@@ -60,7 +59,7 @@ def bench_bundle_adjustment(n_cameras=64, n_points=8192, n_steps=6, l_iters=16):
     jax.block_until_ready(plan._U)
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        plan.step()
+        plan.step()  # LM reads the device-side stop flag each step
     jax.block_until_ready(plan._U)
     dt = time.perf_counter() - t0
     return n_steps * l_iters / dt, O

@@ -287,3 +287,58 @@ def test_dense_curve_fitting(solver):
     ab = np.asarray(plan.get_unknown("funcParams", squeeze=False))[0]
     assert final < 1e-6
     np.testing.assert_allclose(ab, [a_true, b_true], atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# dense_sparse (tests/dense_sparse/curveFitting_combined.t — broken
+# upstream with a Reesiduals typo; this is the repaired energy): the same
+# nonlinear fit expressed BOTH densely (over N) and through sparse maps
+# (over E), as two residual groups in one problem
+# ---------------------------------------------------------------------------
+DENSE_SPARSE = """
+N, U, E = Dims("N", "U", "E")
+Inputs(
+    funcParams=Unknown(float2, (U,), 0),
+    data=Array(float2, (N,), 1),
+    D=Sparse((E,), (N,), 2),
+    P=Sparse((E,), (U,), 3),
+)
+UsePreconditioner(True)
+e, n, u = E(), N(), U()
+yd = data(n)(1)
+bd = funcParams(u)(1)
+ad_ = funcParams(u)(0)
+xd = data(n)(0)
+ys = data(D(e))(1)
+bs = funcParams(P(e))(1)
+as_ = funcParams(P(e))(0)
+xs = data(D(e))(0)
+r = Residuals(
+    dense=yd - (ad_ * cos(bd * xd) + bd * sin(ad_ * xd)),
+    sparse=ys - (as_ * cos(bs * xs) + bs * sin(as_ * xs)),
+)
+"""
+
+
+def test_dense_sparse_combined():
+    nE = 30
+    a_true, b_true = 1.1, 0.7
+    xs = np.linspace(0, 5, nE).astype(np.float32)
+    ys = a_true * np.cos(b_true * xs) + b_true * np.sin(a_true * xs)
+    data = np.stack([xs, ys], axis=-1)
+    spec = tl.load_energy(DENSE_SPARSE)
+    plan = spec.plan({"N": nE, "U": 1, "E": nE}, solver="levenberg_marquardt")
+    plan.set_solver_parameter("nIterations", 30)
+    plan.set_solver_parameter("lIterations", 20)
+    plan.init({
+        "funcParams": np.array([[0.8, 0.5]], np.float32),
+        "data": data,
+        "D": np.arange(nE, dtype=np.int32),
+        "P": np.zeros(nE, np.int32),
+    })
+    final = plan.solve()
+    ab = np.asarray(plan.get_unknown("funcParams", squeeze=False))[0]
+    # both groups fit the same curve; doubled information, same optimum
+    assert final < 1e-5
+    np.testing.assert_allclose(ab, [a_true, b_true], atol=1e-3)
+    assert len(plan.compiled.groups) == 2  # dense (N,U) + sparse (E) domains

@@ -124,3 +124,27 @@ r = Residuals(fit=0.4 * (X(x, y) - A(x, y)),
     dense_from_coo = np.zeros(shape, np.float32)
     np.add.at(dense_from_coo, (np.asarray(rows), np.asarray(cols)), np.asarray(vals))
     np.testing.assert_allclose(np.asarray(J_d), dense_from_coo, rtol=1e-5, atol=1e-6)
+
+
+def test_inverse_matrix4():
+    src = """
+W = Dims("W")
+Inputs(M=Array(float16, (W,), 0), X=Unknown(float, (W,), 1))
+w = W()
+Minv = InverseMatrix4(M(w))
+# residual: (M @ Minv - I) entries must be ~0 regardless of X; X just
+# gives the problem an unknown
+ident = matmul(M(w), Minv)
+r = Residuals(
+    fit=X(w),
+    check=[ident(0) - 1, ident(5) - 1, ident(10) - 1, ident(15) - 1,
+           ident(1), ident(2), ident(4), ident(6)],
+)
+"""
+    spec = tl.load_energy(src)
+    rng = np.random.RandomState(4)
+    M = (np.eye(4) + 0.2 * rng.randn(4, 4)).astype(np.float32).reshape(1, 16)
+    plan = spec.plan({"W": 1})
+    c0 = plan.init({"M": M, "X": np.ones(1, np.float32)})
+    # the 'check' residuals contribute ~0 to the cost: cost ~= 0.5*X^2
+    assert np.isclose(c0, 0.5, atol=1e-3)

@@ -276,17 +276,17 @@ class Plan:
         `inputs` by name."""
         self._inputs = self._normalize_inputs(inputs)
         self._U = {im.name: self._inputs[im.name] for im in self.spec.unknowns}
-        # eager (not jitted): builds host-side inverse scatter tables from
-        # the concrete sparse maps (data-dependent shapes)
-        self._prep = self.compiled.prepare(self._inputs)
         self._const_inputs = {
             k: v for k, v in self._inputs.items()
             if k not in self._U
         }
+        # eager (not jitted): builds host-side scatter plans from the
+        # concrete sparse maps (data-dependent shapes)
+        self._prep = self.compiled.prepare(self._const_inputs)
         zeros = tree_zeros_like(self._U)
         dt = self.dtype
         with self.timer.event("Nonlinear Setup"):
-            c0 = float(self.compiled.cost_jit(self._U, self._all_inputs()))
+            c0 = float(self.compiled.cost_jit(self._U, self._step_inputs()))
         self._lm = LMState(
             trust_region_radius=jnp.asarray(self.solver_parameters["trust_region_radius"], dt),
             radius_decrease_factor=jnp.asarray(self.solver_parameters["radius_decrease_factor"], dt),
@@ -304,6 +304,12 @@ class Plan:
 
     def _all_inputs(self):
         return self._inputs
+
+    def _step_inputs(self):
+        # unknown entries are never read inside the step (residuals gather
+        # from the U pytree); passing only const inputs keeps donation of
+        # U safe and shrinks per-call arg processing
+        return self._const_inputs
 
     def _sp(self):
         # cached: rebuilding does 9 tiny host->device transfers (~10 ms on
@@ -331,7 +337,7 @@ class Plan:
         invasive = self.timing_level >= 2
         with self.timer.event("Nonlinear Iteration"):
             U, lm, stop, new_cost = self.compiled.step_jit(
-                self._U, self._lm, self._all_inputs(), self._sp(), self._prep
+                self._U, self._lm, self._step_inputs(), self._sp(), self._prep
             )
             if invasive:
                 jax.block_until_ready(U)
@@ -352,6 +358,43 @@ class Plan:
             return False
         return True
 
+    def run_steps(self, n: int) -> int:
+        """Dispatch n nonlinear iterations back-to-back with donated
+        unknown/state buffers and no per-step host work (the fast path for
+        GN, whose stop conditions are host-side only).  Returns the number
+        of steps dispatched."""
+        if self._finished or n <= 0:
+            return 0
+        comp = self.compiled
+        limit = int(self.solver_parameters["nIterations"]) - self._iter
+        n = min(n, max(limit, 0))
+        if n <= 0:
+            self._finished = True
+            return 0
+        fn = self._donated_step()
+        U, lm = self._U, self._lm
+        cin, sp, prep = self._step_inputs(), self._sp(), self._prep
+        with self.timer.event("Nonlinear Iteration"):
+            for _ in range(n):
+                U, lm, stop, _ = fn(U, lm, cin, sp, prep)
+        self._U, self._lm = U, lm
+        self._iter += n
+        if comp.uses_lambda and bool(stop):
+            self._finished = True
+        if self._iter >= int(self.solver_parameters["nIterations"]):
+            self._finished = True
+        return n
+
+    def _donated_step(self):
+        if getattr(self, "_donated_step_fn", None) is None:
+            if jax.default_backend() == "cpu":
+                self._donated_step_fn = self.compiled.step_jit
+            else:
+                self._donated_step_fn = jax.jit(
+                    self.compiled.nonlinear_step, donate_argnums=(0, 1)
+                )
+        return self._donated_step_fn
+
     def solve(self, inputs: Optional[Dict] = None) -> float:
         """Full solve (Thallo_ProblemSolve): init + steps until done.
         Returns final cost."""
@@ -365,6 +408,10 @@ class Plan:
             jax.profiler.trace(self.trace_dir) if self.trace_dir else contextlib.nullcontext()
         )
         with tracer, self.timer.event("Total"):
+            if not self.compiled.uses_lambda and not self.debug_check_finite and \
+                    float(self.solver_parameters["max_solver_time_in_seconds"]) == 0:
+                # GN has no device-side stop: dispatch all steps at once
+                self.run_steps(int(self.solver_parameters["nIterations"]))
             while self.step():
                 pass
             jax.block_until_ready(self._U)
@@ -374,7 +421,7 @@ class Plan:
         return final
 
     def cost(self) -> float:
-        return float(self.compiled.cost_jit(self._U, self._all_inputs()))
+        return float(self.compiled.cost_jit(self._U, self._step_inputs()))
 
     def unknowns(self) -> Dict[str, jnp.ndarray]:
         return dict(self._U)
@@ -437,7 +484,7 @@ class Plan:
         if self._inputs is None:
             raise RuntimeError("call init() first")
         comp = self.compiled
-        ins = self._all_inputs()
+        ins = self._step_inputs()
         consts = self._prep["consts"]
         masks = comp.masks(ins, self._U)
         if dense:
