@@ -154,3 +154,18 @@ def test_sparse_materialize_schedules():
         finals[sched] = plan.solve()
     for k, v in finals.items():
         assert np.isclose(v, finals["none"], rtol=1e-3), (k, finals)
+
+
+def test_reset_unknowns():
+    n = 8
+    inputs = _lap_inputs(n)
+    spec = tl.load_energy(LAPLACIAN)
+    plan = spec.plan({"W": n, "H": n})
+    plan.set_solver_parameter("nIterations", 3)
+    c0 = plan.init(inputs)
+    plan.solve()
+    assert plan.cost() < c0
+    plan.reset_unknowns()
+    assert np.isclose(plan.cost(), c0, rtol=1e-6)
+    # and it can solve again from scratch
+    assert plan.solve() < c0

@@ -111,6 +111,14 @@ class SparseMap:
             return comps[0]
         return tuple(comps)
 
+    def set_coherent(self, flag: bool = True):
+        """Memory-coherence hint (reference Sparse:set_coherent, used by
+        bundle_adjustment.t): on GPU it steered warp-aggregated scatters;
+        on TPU gather/scatter lowering is index-order-agnostic, so this is
+        recorded metadata only."""
+        self.coherent = bool(flag)
+        return self
+
     def __repr__(self):
         return (
             f"sparse:{self.name}({','.join(d.name for d in self.in_dims)})"

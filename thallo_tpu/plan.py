@@ -423,6 +423,16 @@ class Plan:
     def cost(self) -> float:
         return float(self.compiled.cost_jit(self._U, self._step_inputs()))
 
+    def reset_unknowns(self):
+        """Restore unknowns to their initial values (reference
+        reset_unknowns / initX snapshot, gauss_newton.t:298-299,
+        1801-1804)."""
+        if self._inputs is None:
+            raise RuntimeError("call init() first")
+        self._U = {im.name: self._inputs[im.name] for im in self.spec.unknowns}
+        self._finished = False
+        self._iter = 0
+
     def unknowns(self) -> Dict[str, jnp.ndarray]:
         return dict(self._U)
 
