@@ -1,0 +1,160 @@
+"""Randomized lowering fuzz: generate small random energies (stencil
+offsets, sparse gathers, multi-channel unknowns, guards, nonlinearities,
+contractions) and check the solver's derivative machinery — per-point
+jacobians, scatter transposes, dense assembly, JTJp — against pure
+jax.jacfwd of the same lowered residual function.  This hardens exactly
+the hand-built parts (index lowering, roll/segment scatters, column
+indexing); the forward evaluation itself is covered by the hand-written
+oracle tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import thallo_tpu as tl
+from tests.util import flatten_tree
+
+
+def random_energy(rng):
+    """Returns (energy source, dim sizes, input maker)."""
+    kind = rng.choice(["grid", "graph", "contract"])
+    uch = int(rng.choice([1, 2, 3]))
+    ach = int(rng.choice([1, 2]))
+    nl = rng.choice(["sin", "sqrtabs", "mul", "none"])
+
+    def wrap_nl(e):
+        if nl == "sin":
+            return f"sin({e})"
+        if nl == "sqrtabs":
+            return f"sqrt(abs({e}) + 0.1)"
+        if nl == "mul":
+            return f"({e}) * ({e})"
+        return e
+
+    if kind == "grid":
+        ox, oy = int(rng.randint(-2, 3)), int(rng.randint(-2, 3))
+        if (ox, oy) == (0, 0):
+            ox = 1  # avoid aliased accesses within one residual: the diag
+            # intentionally matches the reference's per-access definition,
+            # which differs from the true diagonal under aliasing
+        guard = rng.choice([True, False])
+        body = f"X(x + {ox}, y + {oy}) - A(x, y)"
+        if uch > 1:
+            body = f"({body}).dot(X(x, y))" if rng.rand() < 0.5 else f"({body})({rng.randint(uch)})"
+        e = wrap_nl(body)
+        if guard:
+            e = f"Select(InBounds(x + {ox}, y + {oy}), {e}, 0)"
+        src = f"""
+W, H = Dims("W", "H")
+Inputs(X=Unknown(float{uch}, (W, H), 0), A=Array(float{uch}, (W, H), 1),
+       p0=Param(float, 2))
+x, y = W(), H()
+r = Residuals(f=p0 * ({e}))
+"""
+        sizes = {"W": 5, "H": 4}
+
+        def mk(rng2):
+            return {
+                "X": rng2.randn(5, 4, uch).astype(np.float32),
+                "A": rng2.randn(5, 4, uch).astype(np.float32),
+                "p0": 1.3,
+            }
+
+        return src, sizes, mk
+
+    if kind == "graph":
+        e = wrap_nl(f"X(v0(ee)) - 0.7 * X(v1(ee))")
+        if uch > 1:
+            e = f"({e}).sum()"
+        src = f"""
+N, E = Dims("N", "E")
+Inputs(X=Unknown(float{uch}, (N,), 0), B=Array(float{ach}, (E,), 1),
+       v0=Sparse((E,), (N,), 2), v1=Sparse((E,), (N,), 3))
+n, ee = N(), E()
+r = Residuals(fit=X(n).sum() if {uch} > 1 else X(n),
+              reg=B(ee)(0) * ({e}))
+"""
+        nN, nE = 7, 11
+
+        def mk(rng2):
+            return {
+                "X": rng2.randn(nN, uch).astype(np.float32),
+                "B": rng2.randn(nE, ach).astype(np.float32),
+                # v0 != v1 per edge (see aliasing note above)
+                "v0": (v0 := rng2.randint(0, nN, nE).astype(np.int32)),
+                "v1": ((v0 + 1 + rng2.randint(0, nN - 1, nE)) % nN).astype(np.int32),
+            }
+
+        return src, {"N": nN, "E": nE}, mk
+
+    # contraction
+    off = int(rng.randint(0, 3))
+    src = f"""
+N, K = Dims("N", "K")
+Inputs(C=Unknown(float, (K,), 0), R=Array(float, (N,), 1), T=Array(float, (N,), 2))
+n, k = N(), K()
+acc = Sum([k], R(n - k + {off}) * C(k))
+r = Residuals(conv={wrap_nl('T(n) - acc')})
+"""
+    nN, nK = 9, 3
+
+    def mk(rng2):
+        return {
+            "C": rng2.randn(nK).astype(np.float32),
+            "R": rng2.randn(nN).astype(np.float32),
+            "T": rng2.randn(nN).astype(np.float32),
+        }
+
+    return src, {"N": nN, "K": nK}, mk
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_fuzz_jacobian_machinery(seed):
+    rng = np.random.RandomState(seed)
+    src, sizes, mk = random_energy(rng)
+    spec = tl.load_energy(src)
+    plan = spec.plan(sizes)
+    inputs = mk(np.random.RandomState(seed + 1000))
+    plan.init(inputs)
+
+    comp = plan.compiled
+    U, ins = plan._U, plan._step_inputs()
+    consts = comp.group_consts(ins)
+    masks = comp.masks(ins, U)
+
+    # oracle: jacfwd of the lowered residual forward
+    def res_all(Uv):
+        return jnp.concatenate(
+            [gp.group.residuals(Uv, ins, c).reshape(-1) for gp, c in zip(comp.groups, consts)]
+        )
+
+    flat, unflatten = flatten_tree(U)
+    J_oracle = jax.jacfwd(lambda v: res_all(unflatten(v)))(flat)
+    r_oracle = res_all(U)
+
+    # 1. dense assembly from per-point jacobians
+    r_d, J_d = comp.dense_jacobian(U, ins, consts, masks)
+    np.testing.assert_allclose(np.asarray(r_d), np.asarray(r_oracle), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(J_d), np.asarray(J_oracle), rtol=2e-4, atol=2e-5)
+
+    # 2. J^T F and diag(J^T J)
+    mjtf, diag, _ = comp.jtf_and_diag(U, ins, consts, masks, {})
+    jtf_flat, _ = flatten_tree(mjtf)
+    diag_flat, _ = flatten_tree(diag)
+    np.testing.assert_allclose(
+        np.asarray(jtf_flat), np.asarray(-(J_oracle.T @ r_oracle)), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(diag_flat), np.asarray(jnp.sum(J_oracle * J_oracle, axis=0)),
+        rtol=2e-4, atol=2e-5,
+    )
+
+    # 3. matrix-free JTJp against the dense product
+    apply_jtjp = comp.make_jtjp(U, ins, consts, masks, {})
+    p = unflatten(jnp.asarray(np.random.RandomState(seed + 2000).randn(flat.size), jnp.float32))
+    Ap_flat, _ = flatten_tree(apply_jtjp(p))
+    pflat, _ = flatten_tree(p)
+    np.testing.assert_allclose(
+        np.asarray(Ap_flat), np.asarray(J_oracle.T @ (J_oracle @ pflat)),
+        rtol=5e-4, atol=5e-5,
+    )

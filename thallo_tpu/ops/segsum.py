@@ -101,18 +101,19 @@ def onehot_segment_sum(data: jnp.ndarray, ids: jnp.ndarray, num_segments: int) -
 
 
 def gather_with_onehot_transpose(src, idx, num_segments):
-    """Linear gather src[idx] whose transpose is the one-hot matmul
-    segment sum (for small src row counts)."""
-
-    def fwd(res, x):
-        (i,) = res
-        return jnp.take(x, i, axis=0)
-
-    def trans(res, ct):
-        (i,) = res
-        return onehot_segment_sum(ct, i, num_segments)
-
-    return jax.custom_derivatives.linear_call(fwd, trans, (idx,), src)
+    """Gather src[idx] expressed as a dense one-hot matmul, so XLA's OWN
+    transpose is the one-hot segment sum (no custom primitive: fully
+    vmappable/batchable, unlike linear_call which has no batching rule —
+    caught by the lowering fuzzer)."""
+    onehot = (
+        idx[:, None] == jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], num_segments), 1)
+    ).astype(src.dtype)
+    return jax.lax.dot_general(
+        onehot,
+        src,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def tiled_segment_sum(data: jnp.ndarray, plan: SegSumPlan) -> jnp.ndarray:

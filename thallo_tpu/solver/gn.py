@@ -236,7 +236,15 @@ class CompiledSolver:
     # -- J^T F + diag(J^T J) -------------------------------------------------
     def jtf_and_diag(self, U, inputs, consts, masks, jac_store, twin_consts=None):
         """Returns (minus_jtf, diag, jac_store).  jac_store caches per-point
-        Jacobian blocks for groups whose schedule materializes J."""
+        Jacobian blocks for groups whose schedule materializes J.
+
+        diag semantics match the reference exactly (createjtfResidualwise
+        scatters partial^2 per ACCESS, thallo.t:3895-3902): if two accesses
+        of one residual alias the same physical entry at runtime (e.g. a
+        graph edge with v0 == v1), diag gets a^2 + b^2 instead of the true
+        (a+b)^2.  This only perturbs the Jacobi preconditioner / LM
+        damping, never J itself — J^T F, JTJp and dense J handle aliasing
+        exactly (they are linear in the scatters)."""
         mjtf = {im.name: jnp.zeros(tuple(d.size for d in im.dims) + (im.channels,), self.dtype)
                 for im in self.spec.unknowns}
         diag = {k: jnp.zeros_like(v) for k, v in mjtf.items()}
