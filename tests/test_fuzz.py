@@ -158,3 +158,49 @@ def test_fuzz_jacobian_machinery(seed):
         np.asarray(Ap_flat), np.asarray(J_oracle.T @ (J_oracle @ pflat)),
         rtol=5e-4, atol=5e-5,
     )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_exclusion_and_materialized_ca(seed):
+    """Exclusion masks + materialized computed arrays under the same
+    oracle: masked columns must vanish from J; materialization must not
+    change J at all."""
+    rng = np.random.RandomState(seed + 50)
+    ox = int(rng.choice([1, 2]))
+    mat = bool(rng.rand() < 0.5)
+    src = f"""
+W, H = Dims("W", "H")
+Inputs(X=Unknown(float, (W, H), 0), A=Array(float, (W, H), 1),
+       M=Array(float, (W, H), 2))
+x, y = W(), H()
+X.Exclude(eq(M(x, y), 1))
+ca = ComputedArray("ca", [x, y], X(x, y) * X(x, y) + A(x, y))
+{"ca.set_materialize(True)" if mat else ""}
+r = Residuals(f=Select(InBounds(x + {ox}, y), ca(x, y) - ca(x + {ox}, y), 0))
+"""
+    n = 5
+    spec = tl.load_energy(src)
+    plan = spec.plan({"W": n, "H": n})
+    rng2 = np.random.RandomState(seed + 77)
+    Mmask = (rng2.rand(n, n) < 0.3).astype(np.float32)
+    plan.init({"X": rng2.randn(n, n).astype(np.float32),
+               "A": rng2.randn(n, n).astype(np.float32),
+               "M": Mmask})
+    r_d, J_d = plan.jacobian(dense=True)
+    J_d = np.asarray(J_d)
+    # excluded columns are exactly zero
+    excluded = Mmask.reshape(-1) == 1
+    assert (J_d[:, excluded] == 0).all()
+    # non-excluded columns match the masked jacfwd oracle
+    comp = plan.compiled
+    U, ins = plan._U, plan._step_inputs()
+    consts = comp.group_consts(ins)
+
+    def res_all(Uv):
+        return jnp.concatenate(
+            [gp.group.residuals(Uv, ins, c).reshape(-1) for gp, c in zip(comp.groups, consts)]
+        )
+
+    flat, unflatten = flatten_tree(U)
+    J_oracle = np.asarray(jax.jacfwd(lambda v: res_all(unflatten(v)))(flat))
+    np.testing.assert_allclose(J_d[:, ~excluded], J_oracle[:, ~excluded], rtol=2e-4, atol=2e-5)
