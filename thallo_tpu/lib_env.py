@@ -527,6 +527,27 @@ def make_env(spec: ProblemSpec):
     def Residuals(**named):
         return spec.Residuals(**named)
 
+    def Schedule(name, jtjp_schedule, compute_at_output=False,
+                 sparse_matrices=False, compute_lanes=None):
+        """Deprecated declarative schedule setter (reference lib.t:37-40,
+        'old style scheduling'): maps a JTJpSchedule name onto the
+        materialize flags of the named residual."""
+        from .spec import JTJpSchedule
+
+        nr = spec.energy[name]
+        sched = JTJpSchedule(jtjp_schedule) if not isinstance(
+            jtjp_schedule, JTJpSchedule) else jtjp_schedule
+        nr._materialize["J"] = sched in (
+            JTJpSchedule.PRECOMPUTE_J, JTJpSchedule.PRECOMPUTE_J_THEN_JTJ)
+        nr._materialize["JtJ"] = sched in (
+            JTJpSchedule.PRECOMPUTE_JTJ, JTJpSchedule.PRECOMPUTE_J_THEN_JTJ)
+        nr._materialize["Jp"] = sched == JTJpSchedule.APPLY_SEPARATELY
+        if compute_at_output:
+            nr.compute_at_output(True)
+        if sparse_matrices:
+            nr.J.set_sparse(True)
+        return nr
+
     def Sum(domains, value):
         if isinstance(domains, (IndexDomain,)):
             domains = [domains]
@@ -552,6 +573,7 @@ def make_env(spec: ProblemSpec):
         Dims=Dims,
         Inputs=Inputs,
         Residuals=Residuals,
+        Schedule=Schedule,
         Unknown=_decl("Unknown"),
         Array=_decl("Array"),
         Image=_decl("Array"),
