@@ -100,7 +100,16 @@ def shard_plan_inputs(plan, mesh: Mesh, dim_axes: Dict[str, int] = None):
         else:
             new_inputs[k] = jax.device_put(v, NamedSharding(mesh, P()))
     plan._inputs = new_inputs
-    plan._U = {im.name: new_inputs[im.name] for im in spec.unknowns}
+    unknown_names = {im.name for im in spec.unknowns}
+    # U must not alias _inputs (donation safety, see Plan.init)
+    plan._U = {im.name: jax.numpy.copy(new_inputs[im.name]) for im in spec.unknowns}
+    # keep the plan's derived state consistent with the re-placed arrays:
+    # _step_inputs() feeds _const_inputs into the jitted step, and _prep
+    # holds host-prepared gathers of them
+    plan._const_inputs = {
+        k: v for k, v in new_inputs.items() if k not in unknown_names
+    }
+    plan._prep = plan.compiled.prepare(plan._const_inputs)
     if plan._lm is not None:
         repl = NamedSharding(mesh, P())
         plan._lm = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), plan._lm)

@@ -67,6 +67,11 @@ class Plan:
         uses_lambda = solver in ("levenberg_marquardt", "LM", "lm", "LMGPU")
         self.dtype = jnp.float64 if spec.double_precision else jnp.float32
         if spec.double_precision:
+            # NOTE process-wide: x64 must be on for f64 arrays to exist at
+            # all in JAX.  All host->device conversions in this package pass
+            # explicit dtypes, so already-compiled f32 plans are unaffected;
+            # only code OUTSIDE the framework relying on implicit f32
+            # promotion could observe the flip.
             jax.config.update("jax_enable_x64", True)
 
         # bind dim sizes (reference: dims bound at plan time from the C
@@ -77,7 +82,16 @@ class Plan:
         for d in spec.dims:
             if d.name not in self.dim_sizes:
                 raise ValueError(f"no size for dim {d.name}")
-            d.size = int(self.dim_sizes[d.name])
+            new = int(self.dim_sizes[d.name])
+            if d.size is not None and d.size != new:
+                # Dim sizes live on the (shared) spec; two live plans with
+                # different sizes would silently corrupt each other
+                # (reference binds per-plan, thallo.t:577-584).
+                raise ValueError(
+                    f"dim {d.name} already bound to {d.size} by an earlier "
+                    f"plan; build a fresh spec to plan at size {new}"
+                )
+            d.size = new
 
         # Autoscheduler modes (reference useAutoscheduler, thallo.t:
         # 4203-5532): 0 = respect user directives; 1 = heuristic override
@@ -275,7 +289,10 @@ class Plan:
         gauss_newton.t:1166-1198).  Unknown initial values are taken from
         `inputs` by name."""
         self._inputs = self._normalize_inputs(inputs)
-        self._U = {im.name: self._inputs[im.name] for im in self.spec.unknowns}
+        # U must NOT alias self._inputs: run_steps donates U, and on TPU a
+        # donated step deletes the donated buffers — aliasing would brick
+        # reset_unknowns()/_all_inputs() after the first donated step.
+        self._U = {im.name: jnp.copy(self._inputs[im.name]) for im in self.spec.unknowns}
         self._const_inputs = {
             k: v for k, v in self._inputs.items()
             if k not in self._U
@@ -297,6 +314,12 @@ class Plan:
         )
         self._finished = False
         self._iter = 0
+        import time as _time
+
+        # solve-time budget starts at init, not Plan construction (compile
+        # or idle time before the solve must not count against
+        # max_solver_time_in_seconds, gauss_newton.t:1767-1779)
+        self._solve_t0 = _time.perf_counter()
         self._initial_cost = c0
         if self.verbosity:
             print(f"[thallo_tpu] initial cost: {c0:g}")
@@ -353,7 +376,10 @@ class Plan:
             self._finished = True
             return False
         max_t = float(self.solver_parameters["max_solver_time_in_seconds"])
-        if max_t > 0 and self.timer.total_elapsed() > max_t:
+        import time as _time
+
+        if max_t > 0 and _time.perf_counter() - getattr(
+                self, "_solve_t0", self.timer._t0) > max_t:
             self._finished = True
             return False
         return True
@@ -429,7 +455,7 @@ class Plan:
         1801-1804)."""
         if self._inputs is None:
             raise RuntimeError("call init() first")
-        self._U = {im.name: self._inputs[im.name] for im in self.spec.unknowns}
+        self._U = {im.name: jnp.copy(self._inputs[im.name]) for im in self.spec.unknowns}
         self._finished = False
         self._iter = 0
 

@@ -143,18 +143,32 @@ def heuristic_schedule(groups, lin_iter_hint: int = 10, dtype_bytes: int = 4,
 
 
 def enumerate_schedules(groups, max_candidates: int = 2000, seed: int = 0):
-    """All per-group schedule combinations with memory pruning; sampled
-    when the product explodes (reference generate_all_schedules,
-    thallo.t:4318-4482: cartesian product, prune, stochastic sample
-    beyond 2000)."""
-    spaces = [CANDIDATES for _ in groups]
-    total = int(np.prod([len(s) for s in spaces])) if groups else 0
-    combos = itertools.product(*spaces)
+    """Per-group schedule combinations with memory pruning; sampled
+    WITHOUT materializing the cartesian product when it explodes
+    (reference generate_all_schedules, thallo.t:4318-4482: enumerate,
+    prune, stochastic sample beyond 2000 — also without materializing)."""
+    n = len(CANDIDATES)
+    G = len(groups)
+    total = n ** G if G else 0
+
+    def decode(ix):
+        # mixed-radix decode: candidate index -> per-group schedule combo
+        combo = []
+        for _ in range(G):
+            combo.append(CANDIDATES[ix % n])
+            ix //= n
+        return combo
+
     if total > max_candidates:
         rng = np.random.RandomState(seed)
-        all_c = list(combos)
-        idx = rng.choice(len(all_c), size=max_candidates, replace=False)
-        combos = [all_c[i] for i in sorted(idx)]
+        # sample distinct indices lazily (4^G may overflow rng.choice)
+        seen = set()
+        while len(seen) < max_candidates:
+            seen.add(int(rng.randint(0, min(total, 2**62))))
+        indices = sorted(seen)
+        combos = (decode(i) for i in indices)
+    else:
+        combos = (list(c) for c in itertools.product(*[CANDIDATES] * G))
     out = []
     budget = 0.6 * HBM_BYTES
     for combo in combos:

@@ -183,11 +183,11 @@ class CompiledSolver:
         self._exclude_fns = {}
         for im in spec.unknowns:
             if im.exclude_expr is not None:
-                _, fn = lower_pointwise(
+                g, fn = lower_pointwise(
                     [im.exclude_expr], spec, {d.name: d.size for d in spec.dims}, dtype,
                     name=f"exclude_{im.name}",
                 )
-                self._exclude_fns[im.name] = fn
+                self._exclude_fns[im.name] = (g, fn)
         self.cost_jit = jax.jit(self.cost)
         self.step_jit = jax.jit(self.nonlinear_step)
 
@@ -200,7 +200,21 @@ class CompiledSolver:
         for im in self.spec.unknowns:
             shape = tuple(d.size for d in im.dims) + (1,)
             if im.name in self._exclude_fns:
-                v = self._exclude_fns[im.name](inputs, U)
+                g, fn = self._exclude_fns[im.name]
+                v = fn(inputs, U)  # [*ext_shape(in discovered order), rc]
+                # map the pointwise group's discovered external-domain
+                # order onto the unknown's declared dim order (an exclude
+                # whose domains appear in a different order would
+                # otherwise silently transpose the mask on square grids)
+                ext_dims = [d.dim for d in g.ext_domains]
+                if len(ext_dims) == len(im.dims) and all(
+                    any(dd is d for dd in ext_dims) for d in im.dims
+                ):
+                    perm = [
+                        next(i for i, dd in enumerate(ext_dims) if dd is d)
+                        for d in im.dims
+                    ]
+                    v = jnp.transpose(v, tuple(perm) + (v.ndim - 1,))
                 out[im.name] = jnp.where(v.reshape(shape) != 0, 0.0, 1.0).astype(self.dtype)
             else:
                 out[im.name] = jnp.ones(shape, dtype=self.dtype)
