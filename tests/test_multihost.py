@@ -1,0 +1,46 @@
+"""Single-process coverage for parallel/multihost.py: the helpers must
+behave correctly when the "job" is one process (the degenerate pod), so
+their multi-host contract is at least exercised at N=1 — the reference
+has no multi-node analog at all (SURVEY.md §5)."""
+import os
+
+import numpy as np
+import jax
+
+import thallo_tpu as tl
+from thallo_tpu.parallel import multihost
+
+
+def test_is_coordinator_single_process():
+    assert jax.process_count() == 1
+    assert multihost.is_coordinator() is True
+
+
+def test_global_mesh_spans_all_devices():
+    mesh = multihost.global_mesh(axis_names=("x",))
+    assert mesh.devices.size == len(jax.devices())
+    mesh2 = multihost.global_mesh(axis_names=("x", "y"))
+    assert mesh2.devices.size == len(jax.devices())
+    assert set(mesh2.axis_names) == {"x", "y"}
+
+
+def test_checkpoint_per_host_writes_from_coordinator(tmp_path):
+    src = """
+W = Dims("W")
+Inputs(X=Unknown(float, (W,), 0), A=Array(float, (W,), 1))
+x = W()
+r = Residuals(fit=X(x) - A(x))
+"""
+    spec = tl.load_energy(src)
+    plan = spec.plan({"W": 8})
+    rng = np.random.RandomState(0)
+    plan.init({"X": rng.randn(8).astype(np.float32),
+               "A": rng.randn(8).astype(np.float32)})
+    path = str(tmp_path / "ckpt_{process}.npz")
+    multihost.checkpoint_per_host(plan, path)
+    written = path.format(process=jax.process_index())
+    assert os.path.exists(written)
+    # round-trips through load_state
+    plan.run_steps(2)
+    plan.load_state(written)
+    assert plan._iter == 0

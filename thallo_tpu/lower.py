@@ -556,10 +556,12 @@ class LoweredGroup:
         a = jnp.asarray(inputs[im.name], dtype=self.dtype)
         return a.reshape(tuple(d.size for d in im.dims) + (im.channels,))
 
-    def prepared_consts(self, inputs):
+    def prepared_consts(self, inputs, want_bsr=False):
         """Everything non-differentiated, computed once per solve setup:
         const-array slot values, bounds masks, index values, params,
-        sampled images."""
+        sampled images — and, when the schedule materializes J^T J on a
+        graph group, the static block-sparse row/col tables
+        (solver/blocksparse.py)."""
         cvals = [
             self._gather(s, self._image_array(s.image, inputs), inputs) for s in self.cslots
         ]
@@ -599,7 +601,13 @@ class LoweredGroup:
                 t = build_plan(flat, S)
                 if t is not None:
                     stables[i] = t
+        bsr = None
+        if want_bsr and concrete:
+            from .solver.blocksparse import build_group_bsr
+
+            bsr = build_group_bsr(self, inputs, self.dtype)
         return {
+            "bsr": bsr,
             "cvals": cvals,
             "barrs": [v for v, _ in bpairs],
             "bdeps": [d for _, d in bpairs],

@@ -144,6 +144,11 @@ class Plan:
             name = "_".join(nr.name for nr in nrs) if len(nrs) > 1 else name
             schedule = JTJpSchedule.LINEARIZE if auto >= 1 else nrs[0].get_schedule()
             lg = LoweredGroup(name, exprs, spec, self.dim_sizes, self.dtype)
+            user_directed = any(any(nr._materialize.values()) for nr in nrs)
+            if auto == 0 and not user_directed:
+                from .schedule import default_schedule
+
+                schedule = default_schedule(lg)
             twin = None
             if lg.has_materialized:
                 from .lower import inline_computed
@@ -359,11 +364,26 @@ class Plan:
             return False
         invasive = self.timing_level >= 2
         with self.timer.event("Nonlinear Iteration"):
-            U, lm, stop, new_cost = self.compiled.step_jit(
-                self._U, self._lm, self._step_inputs(), self._sp(), self._prep
-            )
             if invasive:
-                jax.block_until_ready(U)
+                # phase-split stepping: each of the reference's named
+                # phases (util.t:537-541) gets a real wall-clock stat
+                setup_jit, linear_jit, finish_jit = self.compiled.phase_jits()
+                ins, sp, prep = self._step_inputs(), self._sp(), self._prep
+                with self.timer.event("Nonlinear Setup"):
+                    state = setup_jit(self._U, self._lm, ins, sp, prep)
+                    jax.block_until_ready(state)
+                with self.timer.event("Linear Solve"):
+                    delta = linear_jit(self._U, state, ins, sp, prep)
+                    jax.block_until_ready(delta)
+                with self.timer.event("Nonlinear Finish"):
+                    U, lm, stop, new_cost = finish_jit(
+                        self._U, self._lm, state, delta, ins, sp, prep
+                    )
+                    jax.block_until_ready(U)
+            else:
+                U, lm, stop, new_cost = self.compiled.step_jit(
+                    self._U, self._lm, self._step_inputs(), self._sp(), self._prep
+                )
         self._U, self._lm = U, lm
         self._iter += 1
         if self.debug_check_finite:
@@ -435,8 +455,10 @@ class Plan:
         )
         with tracer, self.timer.event("Total"):
             if not self.compiled.uses_lambda and not self.debug_check_finite and \
+                    self.timing_level < 2 and \
                     float(self.solver_parameters["max_solver_time_in_seconds"]) == 0:
                 # GN has no device-side stop: dispatch all steps at once
+                # (timingLevel>=2 wants per-phase stats -> step() instead)
                 self.run_steps(int(self.solver_parameters["nIterations"]))
             while self.step():
                 pass

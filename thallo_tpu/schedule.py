@@ -39,6 +39,13 @@ HBM_BYTES = 16e9
 DENSE_JTJ_MAX_UNKNOWNS = 4096  # reference dense_materialize_threshold=256
                                # (thallo.t:4204) scaled for MXU gemv
 
+# Measured TPU v5e row-granular access costs (PERF.md "the scatter wall":
+# XLA scatter-add ~12 cycles/row ~ 3.5 ms per 261k rows; row gather
+# ~0.4 ms), expressed as equivalent streamed bytes at HBM_BYTES_PER_S so
+# they compose with the traffic model.
+SCATTER_ROW_EQ_BYTES = 10_000
+GATHER_ROW_EQ_BYTES = 1_200
+
 
 def _group_stats(gp, dtype_bytes=4):
     """Traffic building blocks for one lowered group."""
@@ -47,10 +54,19 @@ def _group_stats(gp, dtype_bytes=4):
     rc = g.rc
     slot_ch = 0
     gather_bytes = 0
+    scatter_slots = 0  # slots needing a real (non-roll) scatter transpose
+    pair_ch = 0  # sum over slot pairs of Ci*Cj (block-sparse JtJ payload)
+    chans = []
     for s in g.uslots:
         dep = int(np.prod([d.dim.size for d in s.dep_cons])) if s.dep_cons else 1
         slot_ch += dep * s.image.channels
         gather_bytes += R * dep * s.image.channels * dtype_bytes
+        if not s.dep_cons and g._roll_plan(s) is None:
+            scatter_slots += 1
+        chans.append(s.image.channels)
+    for ci in chans:
+        for cj in chans:
+            pair_ch += ci * cj
     const_bytes = 0
     for s in g.cslots:
         dep = int(np.prod([d.dim.size for d in s.dep_cons])) if s.dep_cons else 1
@@ -69,6 +85,8 @@ def _group_stats(gp, dtype_bytes=4):
         "res_bytes": res_bytes,
         "jblock_bytes": R * rc * slot_ch * dtype_bytes,
         "unknown_elems": unknown_elems,
+        "scatter_slots": scatter_slots,
+        "pair_block_bytes": R * pair_ch * dtype_bytes,
     }
 
 
@@ -80,35 +98,49 @@ def estimate_group_cost(gp, schedule: JTJpSchedule, lin_iter_hint: int = 10,
     (cost_of_scheduled_energy)."""
     st = _group_stats(gp, dtype_bytes)
     fwd = st["gather_bytes"] + st["const_bytes"] + st["res_bytes"]
+    # per-apply scatter/gather row penalties for graph slots (zero for
+    # pure stencil groups, whose transposes are inverse rolls)
+    scat = st["scatter_slots"] * st["R"] * SCATTER_ROW_EQ_BYTES
+    gath = st["scatter_slots"] * st["R"] * GATHER_ROW_EQ_BYTES
     setup = 0.0
     resident = 0.0
     if schedule == JTJpSchedule.INLINE:
         # jvp (fwd + tangent) + vjp (fwd + cotangent) every iteration
-        per_iter = 4.0 * fwd
+        per_iter = 4.0 * fwd + scat + gath
     elif schedule == JTJpSchedule.LINEARIZE:
         # linearization residuals ~ one fwd's intermediates; apply +
         # transpose each touch them plus the slot-aligned tangents
         setup = fwd
-        per_iter = 2.0 * fwd
+        per_iter = 2.0 * fwd + scat + gath
         resident = fwd
     elif schedule in (JTJpSchedule.PRECOMPUTE_J, JTJpSchedule.APPLY_SEPARATELY):
         setup = fwd + st["jblock_bytes"]
-        per_iter = 2.0 * (st["jblock_bytes"] + st["gather_bytes"]) + st["res_bytes"]
+        per_iter = 2.0 * (st["jblock_bytes"] + st["gather_bytes"]) + st["res_bytes"] + scat + gath
         resident = st["jblock_bytes"]
     elif schedule in (JTJpSchedule.PRECOMPUTE_JTJ, JTJpSchedule.PRECOMPUTE_J_THEN_JTJ):
         n = st["unknown_elems"]
         if n > DENSE_JTJ_MAX_UNKNOWNS:
-            # falls back to J blocks internally
-            setup = fwd + st["jblock_bytes"]
-            per_iter = 2.0 * (st["jblock_bytes"] + st["gather_bytes"])
-            resident = st["jblock_bytes"]
+            if st["scatter_slots"]:
+                # block-sparse materialized JtJ (solver/blocksparse.py):
+                # setup assembles + permutes the pair-block payload once;
+                # each PCG step reads the padded blocks + col gathers —
+                # NO scatters in the linear solve
+                payload = st["pair_block_bytes"]
+                setup = fwd + 3.0 * payload + st["R"] * GATHER_ROW_EQ_BYTES
+                per_iter = payload + gath
+                resident = payload
+            else:
+                # stencil group: falls back to J blocks internally
+                setup = fwd + st["jblock_bytes"]
+                per_iter = 2.0 * (st["jblock_bytes"] + st["gather_bytes"])
+                resident = st["jblock_bytes"]
         else:
             dense = n * n * dtype_bytes
             setup = fwd + st["jblock_bytes"] + dense
             per_iter = dense  # gemv per iteration
             resident = dense
     else:
-        per_iter = 4.0 * fwd
+        per_iter = 4.0 * fwd + scat + gath
     return setup + lin_iter_hint * per_iter, resident
 
 
@@ -118,6 +150,21 @@ CANDIDATES = [
     JTJpSchedule.PRECOMPUTE_J,
     JTJpSchedule.PRECOMPUTE_JTJ,
 ]
+
+
+def default_schedule(g) -> JTJpSchedule:
+    """TPU-first default for an unscheduled group: stencil groups run
+    matrix-free LINEARIZE (roll/inverse-roll transposes are exact and
+    cheap); graph groups — any slot needing a real gather/scatter —
+    default to materialized block-sparse J^T J, which makes the PCG inner
+    loop scatter-free (see solver/blocksparse.py and PERF.md's scatter
+    wall).  The reference's corresponding defaults are INLINE + the
+    autoscheduler's materialization picks (thallo.t:5192-5271)."""
+    if (g.uslots and not g.con_domains
+            and all(not s.dep_cons for s in g.uslots)
+            and any(g._roll_plan(s) is None for s in g.uslots)):
+        return JTJpSchedule.PRECOMPUTE_JTJ
+    return JTJpSchedule.LINEARIZE
 
 
 def heuristic_schedule(groups, lin_iter_hint: int = 10, dtype_bytes: int = 4,

@@ -1,0 +1,296 @@
+"""Block-sparse materialized J^T J for graph energies.
+
+The reference materializes sparse J / J^T J through cuSPARSE (dump J to
+CSR, csr2csc transpose, csrgemm J^T J, csrmv per PCG step —
+/root/reference/API/src/gauss_newton.t:325-488,1331-1526) and scatters
+per-edge blocks with warp-aggregated atomics
+(creatematerializejtjResidualwise, /root/reference/API/src/
+thallo.t:3715-3752; cuda_util.t:334-429).
+
+TPU redesign (no atomics, scatters serialize at ~12 cycles/row — see
+PERF.md "the scatter wall"):
+
+* At init (concrete graph available) build, per unknown slot, a
+  **degree-padded row table**: perm[N, D] lists the residual points
+  touching each unknown element, D = max degree.  This is the reference's
+  index-inversion idea (createjtfcentered `residualsincludingX00`,
+  thallo.t:3576-3712) as a static gather table.
+* Once per nonlinear iteration, assemble every unknown-pair block
+  B_ij[e] = J_i[e]^T J_j[e] and row-sort them with ONE wide payload
+  gather per row table ([R, F] with F ~ 40-150 channels — wide enough to
+  amortize the permute that defeats thin-row formulations, PERF.md).
+  Pairs whose row and column indices coincide pointwise pre-aggregate to
+  block-diagonal [N, Ci, Cj]; the J^T r and diag(J^T J) setup products
+  ride the same gather, so the whole nonlinear setup is scatter-free.
+* Each PCG step is then gathers + batched block einsums + a sum over the
+  padded degree axis — **zero scatters inside the linear solve**, the
+  property the reference gets from materialized J^T J (constant scatter
+  count per outer iteration, independent of lIterations).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class GroupBsr:
+    """Static row/col tables for one lowered group (pytree: index arrays
+    are children; the pair wiring is aux data and participates in the jit
+    cache key)."""
+
+    # children (device arrays)
+    perms: Tuple[jnp.ndarray, ...]       # per row table: [N, D] int32 into [0, R)
+    masks: Tuple[jnp.ndarray, ...]       # per row table: [N, D] float (1 = valid)
+    cols: Tuple[jnp.ndarray, ...]        # per col table: [N, D] int32 element ids
+    # aux (static python data)
+    slot_row: Tuple[int, ...]            # slot i -> row table index
+    pairs: Tuple[tuple, ...]             # (i, j, "diag") | (i, j, "col", gather_idx)
+    col_gathers: Tuple[tuple, ...]       # per gather: (col_table, image_name, C)
+    slot_images: Tuple[str, ...]         # slot i -> image name
+    slot_channels: Tuple[int, ...]       # slot i -> channel count
+    image_shapes: dict                   # image name -> full array shape
+
+    def tree_flatten(self):
+        children = (self.perms, self.masks, self.cols)
+        aux = (self.slot_row, self.pairs, self.col_gathers, self.slot_images,
+               tuple(self.slot_channels), tuple(sorted(self.image_shapes.items())))
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        perms, masks, cols = children
+        slot_row, pairs, col_gathers, slot_images, slot_channels, shapes = aux
+        return cls(perms, masks, cols, slot_row, pairs, col_gathers,
+                   slot_images, slot_channels, dict(shapes))
+
+
+def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
+                    max_pad_extra: int = 1 << 16) -> Optional[GroupBsr]:
+    """Build the static tables from concrete sparse maps (host side, once
+    per init).  Returns None when the group shape doesn't fit the scheme
+    (contractions, fiber slots, pure-stencil groups, pathological degree
+    skew) — callers fall back to the J-block path."""
+    if not group.uslots or group.con_domains:
+        return None
+    if any(s.dep_cons for s in group.uslots):
+        return None
+    # pure-stencil groups: roll/inverse-roll scatters are already exact
+    # and cheap; materialized blocks would only add traffic
+    if all(group._roll_plan(s) is not None for s in group.uslots):
+        return None
+    R = group.R
+    if R == 0:
+        return None
+
+    idxs: List[np.ndarray] = []
+    for s in group.uslots:
+        flat = group._slot_flat_indices(s, inputs)
+        if isinstance(flat, jax.core.Tracer):
+            return None
+        idxs.append(np.asarray(flat).reshape(-1))
+
+    # unique row tables keyed by the index array's bytes
+    row_key_of_slot: List[int] = []
+    row_tables: List[dict] = []
+    key_to_row: Dict[bytes, int] = {}
+    padded_total = 0
+    for i, s in enumerate(group.uslots):
+        N = int(np.prod([d.size for d in s.image.dims]))
+        key = idxs[i].tobytes()
+        if key in key_to_row:
+            row_key_of_slot.append(key_to_row[key])
+            continue
+        idx = idxs[i]
+        order = np.argsort(idx, kind="stable").astype(np.int64)
+        counts = np.bincount(idx, minlength=N)
+        D = max(int(counts.max()), 1)
+        if N * D > max_waste * R + max_pad_extra:
+            return None  # degree skew would explode the padding
+        starts = np.zeros(N + 1, np.int64)
+        starts[1:] = np.cumsum(counts)
+        sorted_rows = idx[order]
+        pos = np.arange(R, dtype=np.int64) - starts[sorted_rows]
+        perm = np.zeros((N, D), np.int32)
+        mask = np.zeros((N, D), np.float32)
+        perm[sorted_rows, pos] = order.astype(np.int32)
+        mask[sorted_rows, pos] = 1.0
+        padded_total += N * D
+        key_to_row[key] = len(row_tables)
+        row_key_of_slot.append(len(row_tables))
+        row_tables.append({"perm": perm, "mask": mask, "idx": idx, "N": N, "D": D})
+    if padded_total > max_waste * R * len(row_tables) + max_pad_extra:
+        return None
+
+    # pair wiring: for each row slot i and col slot j.  Column index
+    # tables dedupe by (row table, col index values); column GATHERS
+    # dedupe by (col table, gathered image) — two pairs may share a col
+    # table while gathering different images (e.g. P(v1)xP(v0) and
+    # P(v1)xA(v0) both use v0-through-perm_v1 indices).
+    pairs: List[tuple] = []
+    col_tables: List[np.ndarray] = []
+    col_key: Dict[tuple, int] = {}
+    gathers: List[tuple] = []
+    gather_key: Dict[tuple, int] = {}
+    for i, si in enumerate(group.uslots):
+        t = row_key_of_slot[i]
+        rt = row_tables[t]
+        N_i = rt["N"]
+        for j, sj in enumerate(group.uslots):
+            N_j = int(np.prod([d.size for d in sj.image.dims]))
+            if N_i == N_j and np.array_equal(idxs[i], idxs[j]):
+                pairs.append((i, j, "diag"))
+                continue
+            ck = (t, idxs[j].tobytes())
+            if ck not in col_key:
+                # column element ids aligned to row table t's padded layout
+                colt = idxs[j][rt["perm"]].astype(np.int32)
+                col_key[ck] = len(col_tables)
+                col_tables.append(colt)
+            gk = (col_key[ck], sj.image.name)
+            if gk not in gather_key:
+                gather_key[gk] = len(gathers)
+                gathers.append((col_key[ck], sj.image.name, sj.image.channels))
+            pairs.append((i, j, "col", gather_key[gk]))
+
+    shapes = {}
+    for s in group.uslots:
+        shapes[s.image.name] = tuple(d.size for d in s.image.dims) + (s.image.channels,)
+
+    return GroupBsr(
+        perms=tuple(jnp.asarray(rt["perm"]) for rt in row_tables),
+        masks=tuple(jnp.asarray(rt["mask"], dtype) for rt in row_tables),
+        cols=tuple(jnp.asarray(c) for c in col_tables),
+        slot_row=tuple(row_key_of_slot),
+        pairs=tuple(pairs),
+        col_gathers=tuple(gathers),
+        slot_images=tuple(s.image.name for s in group.uslots),
+        slot_channels=tuple(s.image.channels for s in group.uslots),
+        image_shapes=shapes,
+    )
+
+
+def bsr_setup(bsr: GroupBsr, r, jacs, dtype):
+    """Once per nonlinear iteration: assemble J^T r, diag(J^T J) and all
+    unknown-pair blocks, row-sorted, with one wide payload gather per row
+    table (scatter-free; replaces creatematerializejtjResidualwise +
+    createjtfResidualwise scatters, thallo.t:3715-3752,3867-3909).
+
+    r:    [R, rc]
+    jacs: list of [R, rc, C_i] (masked)
+    Returns (jtr_images, d2_images, blocks) where jtr/d2 are dicts
+    image -> [*imshape] accumulated over this group's slots and blocks is
+    {pair_index: [N, Ci, Cj] (diag) | [N, D, Ci, Cj] (cross)}.
+    """
+    nslots = len(bsr.slot_images)
+
+    # per-slot setup products.  NOTE all block products here and in
+    # bsr_apply are broadcast-multiply-sums, NOT einsum/dot_general: XLA
+    # lowers batched 3x3-ish dots onto the MXU with 128-lane padding
+    # (measured ~7x slower than the VPU elementwise form at 261k rows).
+    jtr = [jnp.sum(jacs[i] * r[..., None], axis=1) for i in range(nslots)]
+    d2 = [jnp.sum(jacs[i] * jacs[i], axis=1) for i in range(nslots)]
+    # per-pair edge blocks B_ij = J_i^T J_j  [R, Ci, Cj]
+    eblocks = {}
+    for p_idx, pr in enumerate(bsr.pairs):
+        i, j = pr[0], pr[1]
+        eblocks[p_idx] = jnp.sum(
+            jacs[i][:, :, :, None] * jacs[j][:, :, None, :], axis=1
+        )
+
+    # one payload gather per row table
+    payload_specs = {t: [] for t in range(len(bsr.perms))}  # t -> [(kind, key, width)]
+    payload_parts = {t: [] for t in range(len(bsr.perms))}
+    for i in range(nslots):
+        t = bsr.slot_row[i]
+        C = bsr.slot_channels[i]
+        payload_specs[t].append(("jtr", i, C))
+        payload_parts[t].append(jtr[i])
+        payload_specs[t].append(("d2", i, C))
+        payload_parts[t].append(d2[i])
+    for p_idx, pr in enumerate(bsr.pairs):
+        i, j = pr[0], pr[1]
+        t = bsr.slot_row[i]
+        Ci, Cj = bsr.slot_channels[i], bsr.slot_channels[j]
+        payload_specs[t].append(("pair", p_idx, Ci * Cj))
+        payload_parts[t].append(eblocks[p_idx].reshape(-1, Ci * Cj))
+
+    jtr_out: Dict[str, jnp.ndarray] = {}
+    d2_out: Dict[str, jnp.ndarray] = {}
+    blocks: Dict[int, jnp.ndarray] = {}
+    for t in range(len(bsr.perms)):
+        if not payload_parts[t]:
+            continue
+        payload = jnp.concatenate(payload_parts[t], axis=1)  # [R, F]
+        perm, mask = bsr.perms[t], bsr.masks[t]
+        N, D = perm.shape
+        g = jnp.take(payload, perm.reshape(-1), axis=0).reshape(
+            N, D, payload.shape[1]
+        ) * mask[..., None]  # [N, D, F]
+        gsum = jnp.sum(g, axis=1)  # [N, F] for the pre-aggregated parts
+        off = 0
+        for kind, key, width in payload_specs[t]:
+            if kind == "jtr":
+                i = key
+                name = bsr.slot_images[i]
+                v = gsum[:, off:off + width].reshape(bsr.image_shapes[name])
+                jtr_out[name] = jtr_out.get(name, 0) + v
+            elif kind == "d2":
+                i = key
+                name = bsr.slot_images[i]
+                v = gsum[:, off:off + width].reshape(bsr.image_shapes[name])
+                d2_out[name] = d2_out.get(name, 0) + v
+            else:  # pair
+                p_idx = key
+                pr = bsr.pairs[p_idx]
+                i, j = pr[0], pr[1]
+                Ci, Cj = bsr.slot_channels[i], bsr.slot_channels[j]
+                if pr[2] == "diag":
+                    blocks[p_idx] = gsum[:, off:off + width].reshape(-1, Ci, Cj)
+                else:
+                    N, D = perm.shape
+                    blocks[p_idx] = g[:, :, off:off + width].reshape(N, D, Ci, Cj)
+            off += width
+    return jtr_out, d2_out, blocks
+
+
+def bsr_apply(bsr: GroupBsr, blocks, p):
+    """J^T J p for this group from the assembled blocks: gathers + batched
+    block matvecs + a padded-degree sum.  NO scatters (the analog of the
+    reference's cusparseJTJMatVec / PCGStep1_materializedJTJ,
+    gauss_newton.t:554-625,1447-1526).
+
+    p: unknown pytree.  Returns dict image -> [*imshape] contribution.
+    """
+    # gather the column operands once per unique (col table, image)
+    pg = {}
+    for gidx, (ct, img, C) in enumerate(bsr.col_gathers):
+        flatp = p[img].reshape(-1, C)
+        N, D = bsr.cols[ct].shape
+        pg[gidx] = jnp.take(flatp, bsr.cols[ct].reshape(-1), axis=0).reshape(N, D, C)
+    out: Dict[str, jnp.ndarray] = {}
+    acc: Dict[int, jnp.ndarray] = {}  # row slot -> [N, Ci]
+    for p_idx, pr in enumerate(bsr.pairs):
+        i, j = pr[0], pr[1]
+        if pr[2] == "diag":
+            name_j = bsr.slot_images[j]
+            Cj = bsr.slot_channels[j]
+            pj = p[name_j].reshape(-1, Cj)
+            # [N,a,b]x[N,b] block matvec as a VPU multiply-sum (see note
+            # in bsr_setup on MXU padding for tiny dots)
+            contrib = jnp.sum(blocks[p_idx] * pj[:, None, :], axis=2)
+        else:
+            # [N,D,a,b]x[N,D,b] -> [N,a]
+            contrib = jnp.sum(
+                blocks[p_idx] * pg[pr[3]][:, :, None, :], axis=(1, 3)
+            )
+        acc[i] = acc.get(i, 0) + contrib
+    for i, v in acc.items():
+        name = bsr.slot_images[i]
+        out[name] = out.get(name, 0) + v.reshape(bsr.image_shapes[name])
+    return out

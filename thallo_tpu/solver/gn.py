@@ -190,6 +190,20 @@ class CompiledSolver:
                 self._exclude_fns[im.name] = (g, fn)
         self.cost_jit = jax.jit(self.cost)
         self.step_jit = jax.jit(self.nonlinear_step)
+        self._phase_jits = None
+
+    def phase_jits(self):
+        """Separately-jitted setup / linear-solve / finish phases for
+        invasive timing (timingLevel>=2): each phase gets a real
+        wall-clock stat at the cost of extra dispatches (and, for
+        LINEARIZE groups, re-linearizing in the linear phase)."""
+        if self._phase_jits is None:
+            self._phase_jits = (
+                jax.jit(self.solve_setup),
+                jax.jit(self.linear_solve),
+                jax.jit(self.finish_step),
+            )
+        return self._phase_jits
 
     # -- masks -------------------------------------------------------------
     def masks(self, inputs, U):
@@ -221,8 +235,25 @@ class CompiledSolver:
         return out
 
     # -- residuals / cost ---------------------------------------------------
+    def _wants_bsr(self, gp):
+        """Whether this group's schedule materializes J^T J as block-sparse
+        tables (graph groups above the dense threshold)."""
+        from ..schedule import DENSE_JTJ_MAX_UNKNOWNS
+
+        if gp.schedule not in (
+            JTJpSchedule.PRECOMPUTE_JTJ, JTJpSchedule.PRECOMPUTE_J_THEN_JTJ
+        ):
+            return False
+        _, total = self.unknown_layout()
+        return total > DENSE_JTJ_MAX_UNKNOWNS
+
     def group_consts(self, inputs):
-        return [gp.group.prepared_consts(inputs) for gp in self.groups]
+        return [
+            gp.group.prepared_consts(
+                inputs, want_bsr=self._wants_bsr(gp) and gp.inline_group is None
+            )
+            for gp in self.groups
+        ]
 
     def prepare(self, inputs):
         """Input-only precomputation hoisted out of the jitted step (the
@@ -232,7 +263,8 @@ class CompiledSolver:
         return {
             "consts": self.group_consts(inputs),
             "twin_consts": [
-                gp.inline_group.prepared_consts(inputs) if gp.inline_group is not None else None
+                gp.inline_group.prepared_consts(inputs, want_bsr=self._wants_bsr(gp))
+                if gp.inline_group is not None else None
                 for gp in self.groups
             ],
         }
@@ -268,11 +300,24 @@ class CompiledSolver:
                 continue
             if gp.inline_group is not None:
                 c = (twin_consts[gi] if twin_consts and twin_consts[gi] is not None
-                     else g.prepared_consts(inputs))
+                     else g.prepared_consts(inputs, want_bsr=self._wants_bsr(gp)))
             r, jacs = g.point_jacobians(U, inputs, c)
             jacs = self._mask_jacs(g, jacs, masks, inputs)
+            bsr = c.get("bsr") if isinstance(c, dict) else None
+            if bsr is not None and self._wants_bsr(gp):
+                # scatter-free setup: J^T r, diag and all J^T J blocks
+                # assembled through the padded row tables in one pass
+                from .blocksparse import bsr_setup
+
+                jtr_d, d2_d, blocks = bsr_setup(bsr, r, jacs, self.dtype)
+                jac_store[str(gi)] = {"bsr": blocks}
+                for name, v in jtr_d.items():
+                    mjtf[name] = mjtf[name] - v
+                for name, v in d2_d.items():
+                    diag[name] = diag[name] + v
+                continue
             if gp.schedule not in (JTJpSchedule.INLINE, JTJpSchedule.LINEARIZE):
-                jac_store[gi] = (r, jacs)
+                jac_store[str(gi)] = {"r": r, "jacs": tuple(jacs)}
             for i in range(len(g.uslots)):
                 J = jacs[i]  # [R, rc, *dep, C]
                 # J^T r and diag(J^T J) per point, scattered (reference
@@ -300,11 +345,18 @@ class CompiledSolver:
         inline_groups = []
         linearized = []  # (jvp_fn, vjp_fn) pairs, linearized at U once
         block_groups = []
+        bsr_groups = []  # (GroupBsr, assembled blocks): scatter-free matvec
         dense_mats = []  # materialized J^T J (MXU gemm) for small problems
         _, total_unknowns = self.unknown_layout()
         for gi, gp in enumerate(self.groups):
             g = gp.group
             if not g.uslots:
+                continue
+            entry = jac_store.get(str(gi))
+            if entry is not None and "bsr" in entry:
+                c = (twin_consts[gi] if gp.inline_group is not None and twin_consts
+                     and twin_consts[gi] is not None else consts[gi])
+                bsr_groups.append((c["bsr"], entry["bsr"]))
                 continue
             if gp.schedule == JTJpSchedule.INLINE:
                 inline_groups.append((gi, gp))
@@ -329,6 +381,12 @@ class CompiledSolver:
         def apply_jtjp(p):
             pm = tree_mul(p, self._bmask(masks))
             Ap = tree_zeros_like(p)
+            for bsr, blocks in bsr_groups:
+                from .blocksparse import bsr_apply
+
+                contrib = bsr_apply(bsr, blocks, pm)
+                for name, v in contrib.items():
+                    Ap[name] = Ap[name] + v
             if dense_mats:
                 pflat = self.flatten_U(pm)
                 acc = None
@@ -356,7 +414,7 @@ class CompiledSolver:
                 g = gp.jac_group()
                 gc = (twin_consts[gi] if gp.inline_group is not None and twin_consts
                       and twin_consts[gi] is not None else consts[gi])
-                _, jacs = jac_store[gi]
+                jacs = jac_store[str(gi)]["jacs"]
                 # Jp[p, c] = sum_slots <J_slot, p_slot>
                 Jp = None
                 pvals = [g.gather_slot(i, pm, inputs, gc) for i in range(len(g.uslots))]
@@ -497,10 +555,15 @@ class CompiledSolver:
         return jax.tree_util.tree_map(f, t)
 
     # -- the nonlinear step --------------------------------------------------
-    def nonlinear_step(self, U, lm: LMState, inputs, sp: SolverParams, prep=None):
-        """One Gauss-Newton / LM iteration: setup + full PCG inner loop +
-        update (+ trust region accept/revert for LM).  Entirely on device;
-        mirrors the reference's step(), gauss_newton.t:1545-1785."""
+    # Split into the reference's named phases (util.t:537-541): "Nonlinear
+    # Setup" (solve_setup) / "Linear Solve" (linear_solve) / "Nonlinear
+    # Finish" (finish_step).  nonlinear_step composes them into ONE jit
+    # for the fast path; plan.step() jits them separately at
+    # timingLevel>=2 so each phase gets a real wall-clock stat (the
+    # reference's invasive timing mode, Thallo.h:19-25).
+    def solve_setup(self, U, lm: LMState, inputs, sp: SolverParams, prep=None):
+        """Phase 1: r0 = -J^T F, diag(J^T J), preconditioner, LM damping
+        (+ materialized J blocks / block-sparse J^T J assembly)."""
         dtype = self.dtype
         prep = prep if prep is not None else self.prepare(inputs)
         consts = prep["consts"]
@@ -508,7 +571,6 @@ class CompiledSolver:
         masks = self.masks(inputs, U)
         jac_store = {}
 
-        # ---- nonlinear setup: r0 = -J^T F, preconditioner ----
         mjtf, rawdiag, jac_store = self.jtf_and_diag(
             U, inputs, consts, masks, jac_store, twin_consts)
         r0 = mjtf
@@ -544,6 +606,26 @@ class CompiledSolver:
             pre = self.guarded_invert(rawdiag)
         if not self.use_preconditioner:
             pre = jax.tree_util.tree_map(jnp.ones_like, pre)
+        return {
+            "masks": masks,
+            "jac_store": jac_store,
+            "r0": r0,
+            "pre": pre,
+            "CtC": CtC,
+            "ssq": ssq,
+        }
+
+    def linear_solve(self, U, state, inputs, sp: SolverParams, prep=None):
+        """Phase 2: the full PCG inner loop (or dense direct solve) ->
+        masked delta.  All reductions stay on device (reference
+        gauss_newton.t:1615-1687 without its per-iteration D2H of Q)."""
+        dtype = self.dtype
+        prep = prep if prep is not None else self.prepare(inputs)
+        consts = prep["consts"]
+        twin_consts = prep["twin_consts"]
+        masks = state["masks"]
+        jac_store = state["jac_store"]
+        r0, pre, CtC = state["r0"], state["pre"], state["CtC"]
 
         b = r0
         p0 = tree_mul(pre, r0)
@@ -579,8 +661,7 @@ class CompiledSolver:
             A = A + jnp.diag(1.0 - mflat)
             gvec = jnp.matmul(J.T, r_all, precision=jax.lax.Precision.HIGHEST)
             delta_flat = jnp.linalg.solve(A, -gvec)
-            delta = tree_mul(self.unflatten_U(delta_flat), masks)
-            return self._finish_step(U, lm, inputs, consts, delta, sp, ssq)
+            return tree_mul(self.unflatten_U(delta_flat), masks)
 
         # ---- PCG inner loop (lax.while_loop; reference gauss_newton.t:
         # 1615-1687, all reductions stay on device) ----
@@ -603,8 +684,14 @@ class CompiledSolver:
             def update_r(_):
                 return tree_axpy(-alpha, Ap, r)
 
-            do_reset = self.uses_lambda & (((i + 1) % sp.residual_reset_period) == 0)
-            r = jax.lax.cond(do_reset, reset_r, update_r, None)
+            if self.uses_lambda:
+                do_reset = ((i + 1) % sp.residual_reset_period) == 0
+                r = jax.lax.cond(do_reset, reset_r, update_r, None)
+            else:
+                # GN never resets (reference: residual_reset_period is an
+                # LM trust-region mechanism); keep the second JTJp apply
+                # out of the compiled loop entirely
+                r = update_r(None)
             z = tree_mul(pre, r)
             beta_num = tree_dot(z, r)
             if self.uses_lambda:
@@ -620,8 +707,23 @@ class CompiledSolver:
 
         init = (jnp.asarray(0, jnp.int32), delta0, r0, p0, alpha_num0, Q0, jnp.asarray(False))
         _, delta, _, _, _, _, _ = jax.lax.while_loop(cond_fn, body_fn, init)
-        delta = tree_mul(delta, masks)
-        return self._finish_step(U, lm, inputs, consts, delta, sp, ssq)
+        return tree_mul(delta, masks)
+
+    def finish_step(self, U, lm: LMState, state, delta, inputs, sp: SolverParams,
+                    prep=None):
+        """Phase 3: X += delta (+ LM model cost, trust-region accept/
+        revert, radius update — reference gauss_newton.t:1692-1761)."""
+        prep = prep if prep is not None else self.prepare(inputs)
+        return self._finish_step(U, lm, inputs, prep["consts"], delta, sp, state["ssq"])
+
+    def nonlinear_step(self, U, lm: LMState, inputs, sp: SolverParams, prep=None):
+        """One Gauss-Newton / LM iteration: setup + full PCG inner loop +
+        update (+ trust region accept/revert for LM).  Entirely on device;
+        mirrors the reference's step(), gauss_newton.t:1545-1785."""
+        prep = prep if prep is not None else self.prepare(inputs)
+        state = self.solve_setup(U, lm, inputs, sp, prep)
+        delta = self.linear_solve(U, state, inputs, sp, prep)
+        return self.finish_step(U, lm, state, delta, inputs, sp, prep)
 
     def _finish_step(self, U, lm, inputs, consts, delta, sp, ssq):
         dtype = self.dtype
