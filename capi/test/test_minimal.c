@@ -17,8 +17,8 @@ int main(void) {
 
     Thallo_InitializationParameters param = {0};
     param.verbosityLevel = 1;
-    param.timingLevel = 1;
-    param.cpuOnly = 1; /* smoke test runs on the CPU backend */
+    param.timingLevel = 2; /* invasive: per-phase stats (reference Thallo.h:19-25) */
+    param.cpuOnly = 1;     /* smoke test runs on the CPU backend */
     Thallo_State* state = Thallo_NewState(param);
     if (!state) return 2;
 
@@ -42,6 +42,15 @@ int main(void) {
     Thallo_GetPerformanceSummary(state, plan, &summary);
     printf("total solve: count=%u mean=%.2fms\n", summary.total.count,
            summary.total.meanMS);
+    printf("phases: setup=%u linear=%u finish=%u\n", summary.nonlinearSetup.count,
+           summary.linearSolve.count, summary.nonlinearResolve.count);
+    /* at timingLevel>=2 every phase must carry real measurements
+     * (reference util.t:537-541 fills all five by name) */
+    if (summary.linearSolve.count == 0 || summary.linearSolve.meanMS <= 0.0 ||
+        summary.nonlinearResolve.count == 0 || summary.nonlinearSetup.count == 0) {
+        printf("FAIL (missing phase stats)\n");
+        return 1;
+    }
 
     /* the solver must have smoothed the unknown away from the target */
     double drift = 0.0;

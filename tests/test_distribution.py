@@ -1,0 +1,113 @@
+"""Proof that multi-chip execution actually DISTRIBUTES — not just that
+the sharded answer matches (which replication would also satisfy).
+
+Three pieces of evidence, on the virtual 8-device CPU mesh:
+1. the optimized HLO of the sharded step contains SPMD collectives
+   (collective-permute for stencil halos / all-reduce for PCG dots);
+2. unknown outputs are physically partitioned: shards live on all 8
+   devices with per-device shapes 1/8th of the global (a replicating
+   compile FAILS this);
+3. edge-partition locality: sorting edges by owner shard is answer-
+   invariant while changing only the communication layout."""
+import numpy as np
+import pytest
+
+import jax
+
+from thallo_tpu.models import image_warping
+from thallo_tpu.parallel import (
+    collective_stats,
+    compiled_step_hlo,
+    distribution_report,
+    make_mesh,
+    shard_plan_inputs,
+    sort_edges_by_owner,
+)
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 devices (CPU mesh)"
+)
+
+
+def _sharded_plan(W=64, H=32):
+    spec = image_warping.make_spec()
+    plan = spec.plan({"W": W, "H": H}, solver="levenberg_marquardt")
+    plan.set_solver_parameter("nIterations", 3)
+    plan.set_solver_parameter("lIterations", 6)
+    plan.init(image_warping.synthetic_inputs(W, H))
+    mesh = make_mesh(8, axis_names=("x", "y"))
+    shard_plan_inputs(plan, mesh, dim_axes={"W": "x", "H": "y"})
+    return plan, mesh
+
+
+@needs_devices
+def test_sharded_step_hlo_contains_collectives():
+    plan, mesh = _sharded_plan()
+    with mesh:
+        hlo = compiled_step_hlo(plan)
+    st = collective_stats(hlo)
+    # stencil halo exchange -> collective-permute; PCG dot reductions ->
+    # all-reduce.  A compile that silently replicated everything would
+    # have neither.
+    assert st["collective_permute"] > 0, st
+    assert st["all_reduce"] > 0, st
+
+
+@needs_devices
+def test_sharded_step_outputs_partitioned():
+    plan, mesh = _sharded_plan()
+    with mesh:
+        plan.step()
+    jax.block_until_ready(plan._U)
+    rep = distribution_report(plan)
+    for name, info in rep.items():
+        assert info["n_devices"] == 8, (name, info)
+        assert not info["replicated"], (name, info)
+        # per-device shard is 1/8th of the global element count
+        g = int(np.prod(info["global_shape"]))
+        s = int(np.prod(info["shard_shapes"][0]))
+        assert s * 8 == g, (name, info)
+
+
+@needs_devices
+def test_unknown_shards_on_distinct_devices():
+    plan, mesh = _sharded_plan()
+    with mesh:
+        plan.step()
+    for name, v in plan._U.items():
+        devs = {s.device for s in v.addressable_shards}
+        assert len(devs) == 8, (name, len(devs))
+
+
+@needs_devices
+def test_edge_sort_by_owner_answer_invariant():
+    from thallo_tpu.models import arap_mesh_deformation as arap
+
+    side = 8
+    N = side * side
+    base = arap.synthetic_inputs(side=side)
+    E = len(base["V0"])
+
+    def run(inputs, shard_edges):
+        spec = arap.make_spec()
+        plan = spec.plan({"N": N, "E": E}, solver="levenberg_marquardt")
+        plan.set_solver_parameter("nIterations", 4)
+        plan.set_solver_parameter("lIterations", 8)
+        plan.init(inputs)
+        if shard_edges:
+            mesh = make_mesh(8, axis_names=("x",))
+            shard_plan_inputs(plan, mesh, dim_axes={"E": "x"})
+            with mesh:
+                return plan.solve()
+        return plan.solve()
+
+    spec = arap.make_spec()
+    sorted_inputs, order = sort_edges_by_owner(base, spec, "E", "V0", 8)
+    # the permutation really reorders, and by owner shard
+    assert not np.array_equal(order, np.arange(E))
+    shard_of = np.asarray(sorted_inputs["V0"]).astype(np.int64) * 8 // N
+    assert (np.diff(shard_of) >= 0).all()
+
+    f_base = run(base, False)
+    f_sorted = run(sorted_inputs, True)
+    assert np.isclose(f_base, f_sorted, rtol=1e-3), (f_base, f_sorted)

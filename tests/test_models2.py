@@ -198,3 +198,57 @@ def test_shape_and_shading():
     # SH lighting unknowns moved away from the flat init
     ell = np.asarray(plan.get_unknown("ell", squeeze=False))
     assert np.abs(ell[0, 1:]).max() > 1e-4
+
+
+def test_bundle_fusion_dense_and_sparse():
+    """Model #17: the full BundleFusion energy — dense point-to-plane
+    depth term (SampledImageArray + materialized per-pair transforms via
+    .get(t_t, t_s)) + sparse correspondence term
+    (reference bundle_fusion_solve.t:1-90)."""
+    from thallo_tpu.models import bundle_fusion as bf
+
+    inputs, meta = bf.synthetic_inputs(W=10, H=10, T=4)
+    spec = bf.make_spec()
+    plan = spec.plan(
+        {"W": 10, "H": 10, "T": 4, "CorrDim": meta["n_corr"],
+         "PairDim": meta["n_pairs"]},
+        solver="levenberg_marquardt",
+    )
+    plan.set_solver_parameter("nIterations", 8)
+    plan.set_solver_parameter("lIterations", 12)
+    c0 = plan.init(inputs)
+    final = plan.solve()
+    assert final < 0.05 * c0, (c0, final)
+
+
+def test_bundle_fusion_jacobian_oracle():
+    """Tiny-dims jacfwd oracle over the full dense+sparse energy: the
+    dense assembly (and hence every derivative the solver uses) matches
+    pure jacfwd of the lowered residuals."""
+    import jax
+    import jax.numpy as jnp
+    from thallo_tpu.models import bundle_fusion as bf
+
+    inputs, meta = bf.synthetic_inputs(W=5, H=5, T=3, corrs_per_pair=4)
+    spec = bf.make_spec()
+    plan = spec.plan({"W": 5, "H": 5, "T": 3, "CorrDim": meta["n_corr"],
+                      "PairDim": meta["n_pairs"]})
+    plan.init(inputs)
+    comp = plan.compiled
+    U, ins = plan._U, plan._step_inputs()
+    consts = comp.group_consts(ins)
+    masks = comp.masks(ins, U)
+
+    def res_all(Uv):
+        return jnp.concatenate(
+            [gp.group.residuals(Uv, ins, c).reshape(-1)
+             for gp, c in zip(comp.groups, consts)]
+        )
+
+    # column layout must match dense_jacobian's (declaration order, NOT
+    # alphabetical pytree order)
+    flat = comp.flatten_U(U)
+    J_oracle = np.asarray(
+        jax.jacfwd(lambda v: res_all(comp.unflatten_U(v)))(flat))
+    r_d, J_d = comp.dense_jacobian(U, ins, consts, masks)
+    np.testing.assert_allclose(np.asarray(J_d), J_oracle, rtol=2e-3, atol=2e-4)

@@ -68,10 +68,83 @@ def test_exhaustive_enumeration():
     np.testing.assert_allclose(finals, finals[0], rtol=1e-3)
 
 
+CA_ENERGY = """
+W, H = Dims("W", "H")
+Inputs(X=Unknown(float, (W, H), 0), A=Array(float, (W, H), 1))
+x, y = W(), H()
+# expensive shared subexpression accessed at 5 stencil sites (the
+# shape_from_shading pattern)
+shade = ComputedArray("shade", [x, y],
+    sin(X(x, y)) * cos(X(x, y)) + exp(0.1 * X(x, y)) * sqrt(abs(X(x, y)) + 1.0)
+    + log(abs(X(x, y)) + 2.0) * A(x, y)
+    + sin(2.0 * X(x, y)) * cos(3.0 * X(x, y)) * A(x, y)
+    + sqrt(abs(sin(X(x, y)) + cos(A(x, y))) + 0.5)
+    + exp(-abs(X(x, y) - A(x, y))) * (X(x, y) * X(x, y) + 1.0))
+cheap = ComputedArray("cheap", [x, y], X(x, y) + A(x, y))
+r = Residuals(
+    fit=shade(x, y) - A(x, y),
+    reg=[Select(InBounds(x + 1, y), shade(x, y) - shade(x + 1, y), 0),
+         Select(InBounds(x, y + 1), shade(x, y) - shade(x, y + 1), 0),
+         Select(InBounds(x + 1, y + 1), shade(x, y) - shade(x + 1, y + 1), 0)],
+    fit2=cheap(x, y) - 0.5 * A(x, y),
+)
+"""
+
+
+def test_heuristic_selects_ca_materialization():
+    """The reference's select_expressions_to_materialize axis: an
+    expensive multi-site ComputedArray is materialized automatically; a
+    trivial one stays inline — and either way the answer matches the
+    all-inline plan."""
+    spec = tl.load_energy(CA_ENERGY)
+    plan = spec.plan({"W": 24, "H": 24}, use_autoscheduler=1)
+    mats = {ca.name: ca.materialize for ca in spec.computed}
+    assert mats["shade"] is True, mats
+    assert mats["cheap"] is False, mats
+    rng = np.random.RandomState(3)
+    ins = {"X": rng.rand(24, 24).astype(np.float32),
+           "A": rng.rand(24, 24).astype(np.float32)}
+    f_auto = _solve(plan, dict(ins))
+
+    spec2 = tl.load_energy(CA_ENERGY)
+    plan2 = spec2.plan({"W": 24, "H": 24})  # user default: all inline
+    f_user = _solve(plan2, dict(ins))
+    assert np.isclose(f_auto, f_user, rtol=1e-3), (f_auto, f_user)
+
+
 def test_mode2_clears_to_default():
     spec = tl.load_energy(LAPLACIAN)
     plan = spec.plan({"W": 10, "H": 10}, use_autoscheduler=2)
     assert all(gp.schedule == JTJpSchedule.LINEARIZE for gp in plan.compiled.groups)
+
+
+def test_apply_separately_is_distinct_and_correct():
+    """Jp.set_materialize -> APPLY_SEPARATELY (reference get_schedule
+    mapping, thallo.t:4100-4134) must (a) give the same answer and (b) be
+    a genuinely different execution strategy: the materialized-Jp barrier
+    shows up in the compiled HLO (thallo.t:3754-3841's two-kernel split)."""
+    import jax
+
+    src = LAPLACIAN.replace("r.fit.J.set_materialize(True)\nr.fit.JtJ.set_materialize(True)",
+                            "r.fit.Jp.set_materialize(True)")
+    spec = tl.load_energy(src)
+    from thallo_tpu.spec import JTJpSchedule
+
+    assert spec.energy.fit.get_schedule() == JTJpSchedule.APPLY_SEPARATELY
+    plan = spec.plan({"W": 12, "H": 12})
+    assert any(gp.schedule == JTJpSchedule.APPLY_SEPARATELY
+               for gp in plan.compiled.groups)
+    f_sep = _solve(plan, _inputs(12))
+
+    spec2 = tl.load_energy(LAPLACIAN)
+    plan2 = spec2.plan({"W": 12, "H": 12})
+    f_ref = _solve(plan2, _inputs(12))
+    assert np.isclose(f_sep, f_ref, rtol=1e-4)
+
+    hlo = jax.jit(plan.compiled.nonlinear_step).lower(
+        plan._U, plan._lm, plan._step_inputs(), plan._sp(), plan._prep
+    ).as_text()
+    assert "opt-barrier" in hlo or "optimization_barrier" in hlo
 
 
 def test_autoschedule_search_measures_all():
@@ -81,17 +154,26 @@ def test_autoschedule_search_measures_all():
     def make_inputs():
         return _inputs(10)
 
+    import os
+
+    os.environ["THALLO_MEASUREMENTS"] = "/tmp/sched_measurements.json"
     plan, results = autoschedule_search(
         lambda: tl.load_energy(LAPLACIAN),
         {"W": 10, "H": 10},
         make_inputs,
         n_steps=2,
         l_iters=5,
+        max_candidates=6,
         log_path="/tmp/sched_search.txt",
         verbose=False,
     )
-    # exhaustive mode clears directives -> one merged group, 4 candidates
-    assert len(results) == 4
+    # merged-group candidates (4 schedules) + the first split candidates
+    assert len(results) == 6
     assert all(dt > 0 for _, _, dt in results)
     final = plan.solve()
     assert final > 0
+    # measurements persisted for the heuristic to reuse (ROADMAP #8)
+    from thallo_tpu.schedule import load_measurements
+
+    assert load_measurements()
+    del os.environ["THALLO_MEASUREMENTS"]

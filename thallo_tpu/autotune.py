@@ -54,7 +54,21 @@ def autoschedule_search(
         dt = (time.perf_counter() - t0) / n_steps
         scheds = [gp.schedule.value for gp in plan.compiled.groups]
         results.append((idx, scheds, dt))
-        line = f"measured candidate {idx}: {scheds} -> {dt * 1e3:.3f} ms/step"
+        # estimated vs measured, and feed the measurement back into the
+        # heuristic's data store (reference schedules.txt writer
+        # thallo.t:4231-4251; ROADMAP #8 "cost model learns from
+        # autotune measurements")
+        from .schedule import (estimate_group_cost, group_measure_key,
+                               record_measurement)
+
+        est = sum(
+            estimate_group_cost(gp, gp.schedule, l_iters)[0]
+            for gp in plan.compiled.groups
+        )
+        for gp in plan.compiled.groups:
+            record_measurement(group_measure_key(gp, gp.schedule), dt)
+        line = (f"measured candidate {idx}: {scheds} -> {dt * 1e3:.3f} ms/step "
+                f"(est {est:.3g} bytes/iter)")
         if verbose:
             print(line)
         try:

@@ -70,7 +70,8 @@ def problem_plan(state_h, problem_h, dims):
     solver = {"LM": "levenberg_marquardt", "LMGPU": "levenberg_marquardt",
               "gaussNewtonGPU": "gauss_newton"}.get(pr["solver"], pr["solver"])
     plan = spec.plan({d.name: int(s) for d, s in zip(spec.dims, dims)}, solver=solver,
-                     use_autoscheduler=st["use_autoscheduler"])
+                     use_autoscheduler=st["use_autoscheduler"],
+                     timing_level=st["timing"], verbosity=st["verbosity"])
     h = next(_handles)
     _plans[h] = {"plan": plan, "spec": spec, "buffers": None, "state": st}
     return h

@@ -353,7 +353,7 @@ def _make_get(exprs, idx):
     # free domains of the expression, ordered by first appearance
     from .lower import Collection
 
-    col = Collection()
+    col = Collection(allow_inline_ca=True)
     for e in exprs:
         col.walk(e, frozenset())
     expr_domains = list(col.ext_domains)

@@ -67,7 +67,14 @@ class SlotSpec:
 
 
 class Collection:
-    def __init__(self):
+    def __init__(self, allow_inline_ca=False):
+        # allow_inline_ca: domain discovery over RAW (pre-inlining)
+        # expressions — a non-materialized ComputedArray access then
+        # contributes its access comps' domains (what inlining would
+        # substitute them with) instead of being an error.  Used by
+        # expr.get()'s free-domain classification for nested get()s
+        # (reference maybe_computed_array classify, thallo.t:1868-1893).
+        self.allow_inline_ca = allow_inline_ca
         self.ext_domains: List[IndexDomain] = []
         self.con_domains: List[IndexDomain] = []
         self.uslots: Dict = {}  # key -> SlotSpec (unknown images)
@@ -115,6 +122,8 @@ class Collection:
             im = e.image
             if im.kind == "computed":
                 if not im.materialize:
+                    if self.allow_inline_ca:
+                        return  # comps' domains already collected above
                     raise RuntimeError("computed arrays must be inlined before lowering")
                 target = self.mslots
             elif im.kind == "unknown":
@@ -267,18 +276,35 @@ def _make_ops(dtype):
 # ---------------------------------------------------------------------------
 class _IndexEnv:
     """Evaluates AffineComp/SparseComp index expressions to int32 arrays
-    over a (sub)grid [*ext_shape, *dep_con_shape]."""
+    over a (sub)grid [*ext_shape, *dep_con_shape].
 
-    def __init__(self, axes: Dict[IndexDomain, int], shape: Tuple[int, ...], sparse_data):
+    use_np=True evaluates in pure numpy (host): index-table construction
+    at init time must not issue eager device ops — on a remote-compile
+    backend every eager op is a fresh executable (minutes of init)."""
+
+    def __init__(self, axes: Dict[IndexDomain, int], shape: Tuple[int, ...], sparse_data,
+                 use_np: bool = False):
         self.axes = axes  # domain -> axis position
         self.shape = shape
         self.sparse_data = sparse_data  # name -> [prod(in_dims), n_out] int32
+        self.use_np = use_np
+
+    def _iota(self, axis):
+        if self.use_np:
+            n = self.shape[axis]
+            view = [1] * len(self.shape)
+            view[axis] = n
+            return np.broadcast_to(
+                np.arange(n, dtype=np.int32).reshape(view), self.shape
+            )
+        return jax.lax.broadcasted_iota(jnp.int32, self.shape, axis)
 
     def eval(self, comp: AffineComp):
-        val = jnp.full(self.shape, comp.offset, dtype=jnp.int32)
+        xp = np if self.use_np else jnp
+        val = xp.full(self.shape, comp.offset, dtype=xp.int32)
         for base, coeff in comp.terms:
             if isinstance(base, IndexDomain):
-                val = val + coeff * jax.lax.broadcasted_iota(jnp.int32, self.shape, self.axes[base])
+                val = val + coeff * self._iota(self.axes[base])
             else:
                 val = val + coeff * self.eval_sparse(base)
         return val
@@ -290,6 +316,8 @@ class _IndexEnv:
         for a, n in zip(sc.args[1:], in_sizes[1:]):
             flat = flat * n + (self.eval(a) % n)
         data = self.sparse_data[sm.name]  # [prod(in_dims), n_out]
+        if self.use_np:
+            return np.take(np.asarray(data)[:, sc.component], np.asarray(flat), axis=0)
         return jnp.take(data[:, sc.component], flat, axis=0)
 
 
@@ -419,9 +447,9 @@ class LoweredGroup:
                 out[sm.name] = arr.reshape(-1, n_out)
         return out
 
-    def _slot_flat_indices(self, slot: SlotSpec, inputs):
+    def _slot_flat_indices(self, slot: SlotSpec, inputs, use_np: bool = False):
         axes, shape = self._slot_axes(slot.dep_cons)
-        env = _IndexEnv(axes, shape, self._sparse_arrays(inputs))
+        env = _IndexEnv(axes, shape, self._sparse_arrays(inputs), use_np=use_np)
         im = slot.image
         flat = None
         for j, c in enumerate(slot.comps):

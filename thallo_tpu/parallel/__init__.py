@@ -1,1 +1,8 @@
-from .mesh import make_mesh, shard_plan_inputs  # noqa: F401
+from .mesh import (  # noqa: F401
+    collective_stats,
+    compiled_step_hlo,
+    distribution_report,
+    make_mesh,
+    shard_plan_inputs,
+    sort_edges_by_owner,
+)

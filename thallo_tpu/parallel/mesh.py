@@ -100,6 +100,7 @@ def shard_plan_inputs(plan, mesh: Mesh, dim_axes: Dict[str, int] = None):
         else:
             new_inputs[k] = jax.device_put(v, NamedSharding(mesh, P()))
     plan._inputs = new_inputs
+    plan._mesh = mesh
     unknown_names = {im.name for im in spec.unknowns}
     # U must not alias _inputs (donation safety, see Plan.init)
     plan._U = {im.name: jax.numpy.copy(new_inputs[im.name]) for im in spec.unknowns}
@@ -114,3 +115,84 @@ def shard_plan_inputs(plan, mesh: Mesh, dim_axes: Dict[str, int] = None):
         repl = NamedSharding(mesh, P())
         plan._lm = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), plan._lm)
     return plan
+
+
+# ---------------------------------------------------------------------------
+# distribution evidence (the proof the reference could never give: that the
+# compiled step actually communicates over the mesh instead of silently
+# all-gathering and replicating)
+# ---------------------------------------------------------------------------
+def compiled_step_hlo(plan) -> str:
+    """Compile the (sharded) nonlinear step against the plan's current
+    operand placements and return the optimized HLO text."""
+    lowered = jax.jit(plan.compiled.nonlinear_step).lower(
+        plan._U, plan._lm, plan._step_inputs(), plan._sp(), plan._prep
+    )
+    return lowered.compile().as_text()
+
+
+def collective_stats(hlo_text: str):
+    """Count SPMD collectives in optimized HLO."""
+    import re
+
+    return {
+        "collective_permute": len(re.findall(r"collective-permute", hlo_text)),
+        "all_reduce": len(re.findall(r"all-reduce", hlo_text)),
+        "all_gather": len(re.findall(r"all-gather", hlo_text)),
+        "reduce_scatter": len(re.findall(r"reduce-scatter", hlo_text)),
+        "all_to_all": len(re.findall(r"all-to-all", hlo_text)),
+    }
+
+
+def distribution_report(plan):
+    """Per-unknown placement evidence after a sharded step: how many
+    devices hold shards, the per-device shard shape, and whether the array
+    is actually partitioned (fails the replication smell test if every
+    shard equals the global shape)."""
+    out = {}
+    for name, v in plan._U.items():
+        shards = v.addressable_shards
+        out[name] = {
+            "global_shape": tuple(v.shape),
+            "n_devices": len(v.sharding.device_set),
+            "shard_shapes": sorted({tuple(s.data.shape) for s in shards}),
+            "replicated": bool(v.sharding.is_fully_replicated),
+            "bytes_per_device": int(
+                np.prod(shards[0].data.shape) * v.dtype.itemsize
+            ) if shards else 0,
+        }
+    return out
+
+
+def sort_edges_by_owner(inputs, spec, edge_dim_name: str, owner_map_name: str,
+                        n_shards: int):
+    """Permute the edge/observation domain so edges are contiguous by the
+    owning shard of `owner_map_name`'s target vertex (edge-partition
+    locality: per-shard scatters stay mostly local instead of reducing
+    across every shard).  Residual sums are permutation-invariant, so this
+    never changes results — it only changes communication.  Returns (new
+    inputs dict, permutation).
+
+    The reference has no analog (single GPU); this is the TPU-native
+    version of its `coherent` access hint (thallo.t Sparse set_coherent:
+    sorted edges -> warp-coherent gathers)."""
+    sm = next(s for s in spec.sparse_maps if s.name == owner_map_name)
+    if len(sm.in_dims) != 1 or sm.in_dims[0].name != edge_dim_name:
+        raise ValueError(f"{owner_map_name} is not a 1-D map over {edge_dim_name}")
+    owner = np.asarray(inputs[owner_map_name]).reshape(-1)
+    sizes = [d.size for d in sm.out_dims]
+    n_owner = (int(np.prod(sizes)) if all(s is not None for s in sizes)
+               else int(owner.max()) + 1)
+    shard_of = (owner.astype(np.int64) * n_shards) // max(n_owner, 1)
+    order = np.argsort(shard_of, kind="stable")
+    new_inputs = dict(inputs)
+    for s in spec.sparse_maps:
+        if len(s.in_dims) == 1 and s.in_dims[0].name == edge_dim_name:
+            new_inputs[s.name] = np.asarray(inputs[s.name])[order]
+    for im in spec.arrays:
+        if im.dims and im.dims[0].name == edge_dim_name:
+            new_inputs[im.name] = np.asarray(inputs[im.name])[order]
+    for im in spec.unknowns:
+        if im.dims and im.dims[0].name == edge_dim_name:
+            new_inputs[im.name] = np.asarray(inputs[im.name])[order]
+    return new_inputs, order

@@ -116,73 +116,55 @@ class Plan:
         self.use_autoscheduler = int(options.get("use_autoscheduler", 0) or 0)
         auto = self.use_autoscheduler
 
-        # group residuals by identical (external domains, schedule) — the
-        # reference's toresidualgroups (thallo.t:4149-4201) does exactly
-        # this, so e.g. image_warping's 4 reg + 1 fit residuals become ONE
-        # kernel.  Explicit energy.merge() requests are honored first.
-        merged_names = {}
-        energy = spec.energy
-        for mg in energy._merges:
-            for n in mg[1:]:
-                merged_names[n] = mg[0]
-        bucket = {}
-        order = []
-        for nr in energy:
-            tgt = merged_names.get(nr.name, nr.name)
-            key = ("merge", tgt) if (tgt != nr.name or tgt in merged_names.values()) else (
-                self._group_signature(nr, ignore_schedule=auto >= 1), )
-            if key not in bucket:
-                bucket[key] = (tgt if key[0] == "merge" else nr.name, [])
-                order.append(key)
-            bucket[key][1].append(nr)
-        groups = []
-        for key in order:
-            name, nrs = bucket[key]
-            exprs = []
-            for nr in nrs:
-                exprs.extend(nr.exprs)
-            name = "_".join(nr.name for nr in nrs) if len(nrs) > 1 else name
-            schedule = JTJpSchedule.LINEARIZE if auto >= 1 else nrs[0].get_schedule()
-            lg = LoweredGroup(name, exprs, spec, self.dim_sizes, self.dtype)
-            user_directed = any(any(nr._materialize.values()) for nr in nrs)
-            if auto == 0 and not user_directed:
-                from .schedule import default_schedule
-
-                schedule = default_schedule(lg)
-            twin = None
-            if lg.has_materialized:
-                from .lower import inline_computed
-
-                twin = LoweredGroup(
-                    name + "_inlined", inline_computed(exprs, force=True),
-                    spec, self.dim_sizes, self.dtype,
-                )
-            groups.append(GroupPlan(name=name, group=lg, schedule=schedule,
-                                    inline_group=twin))
-
         if auto == 1:
-            from .schedule import heuristic_schedule
+            from .schedule import heuristic_schedule, select_ca_materialization
 
-            log = [f"heuristic autoschedule ({len(groups)} groups):"]
+            log = ["heuristic autoschedule:"]
+            # ComputedArray materialize-vs-inline is decided BEFORE
+            # lowering (inlining is baked into the lowered groups) --
+            # reference select_expressions_to_materialize,
+            # thallo.t:5192-5231
+            select_ca_materialization(spec, log=log)
+            groups = self._build_groups(spec, auto, merge_all=True)
+            log.append(f"({len(groups)} groups)")
             lin_hint = int(options.get("lin_iter_hint", SOLVER_PARAMETER_DEFAULTS["lIterations"]))
             for gp, s in zip(groups, heuristic_schedule(groups, lin_hint, log=log)):
                 gp.schedule = s
             self._log_schedules(log)
         elif auto >= 3:
+            # exhaustive candidate space = merge-vs-split x ComputedArray
+            # inline powerset x per-group schedule combos (the reference
+            # enumerates schedules x domain permutations x CA powersets,
+            # generate_all_schedules thallo.t:4318-4482)
             from .schedule import enumerate_schedules
 
-            combos = enumerate_schedules(groups)
             idx = auto - 3
-            if idx >= len(combos):
-                raise IndexError(
-                    f"autoschedule index {idx} exhausted ({len(combos)} candidates)"
-                )
-            for gp, s in zip(groups, combos[idx]):
+            n_ca = len(spec.computed)
+            chosen = None
+            for merge_all in (True, False):
+                for ca_bits in range(1 << n_ca):
+                    for b, ca in enumerate(spec.computed):
+                        ca.materialize = bool((ca_bits >> b) & 1)
+                    groups = self._build_groups(spec, auto, merge_all=merge_all)
+                    combos = enumerate_schedules(groups)
+                    if idx < len(combos):
+                        chosen = (groups, combos[idx], merge_all, ca_bits)
+                        break
+                    idx -= len(combos)
+                if chosen:
+                    break
+            if chosen is None:
+                raise IndexError(f"autoschedule index {auto - 3} exhausted")
+            groups, combo, merge_all, ca_bits = chosen
+            for gp, s in zip(groups, combo):
                 gp.schedule = s
             self._log_schedules(
-                [f"exhaustive candidate {idx}/{len(combos)}: "
-                 + ", ".join(f"{gp.name}={s.value}" for gp, s in zip(groups, combos[idx]))]
+                [f"exhaustive candidate {auto - 3}: merge={merge_all} "
+                 f"ca_bits={ca_bits:b} "
+                 + ", ".join(f"{gp.name}={s.value}" for gp, s in zip(groups, combo))]
             )
+        else:
+            groups = self._build_groups(spec, auto, merge_all=True)
 
         if options.get("profile_compile"):
             # compile-time profiler (the analog of the reference's Lua
@@ -222,6 +204,58 @@ class Plan:
         self._lm = None
         self._finished = False
         self._iter = 0
+
+    def _build_groups(self, spec, auto, merge_all=True):
+        """Group residuals by identical (external domains, schedule) — the
+        reference's toresidualgroups (thallo.t:4149-4201) — so e.g.
+        image_warping's 4 reg + 1 fit residuals become ONE kernel.
+        Explicit energy.merge() requests are honored first; merge_all=False
+        (exhaustive split candidates) keeps every named residual its own
+        group (reference split/full_split, thallo.t:5678-5727)."""
+        merged_names = {}
+        energy = spec.energy
+        for mg in energy._merges:
+            for n in mg[1:]:
+                merged_names[n] = mg[0]
+        bucket = {}
+        order = []
+        for nr in energy:
+            tgt = merged_names.get(nr.name, nr.name)
+            if tgt != nr.name or tgt in merged_names.values():
+                key = ("merge", tgt)
+            elif not merge_all:
+                key = ("name", nr.name)
+            else:
+                key = (self._group_signature(nr, ignore_schedule=auto >= 1),)
+            if key not in bucket:
+                bucket[key] = (tgt if key[0] == "merge" else nr.name, [])
+                order.append(key)
+            bucket[key][1].append(nr)
+        groups = []
+        for key in order:
+            name, nrs = bucket[key]
+            exprs = []
+            for nr in nrs:
+                exprs.extend(nr.exprs)
+            name = "_".join(nr.name for nr in nrs) if len(nrs) > 1 else name
+            schedule = JTJpSchedule.LINEARIZE if auto >= 1 else nrs[0].get_schedule()
+            lg = LoweredGroup(name, exprs, spec, self.dim_sizes, self.dtype)
+            user_directed = any(any(nr._materialize.values()) for nr in nrs)
+            if auto == 0 and not user_directed:
+                from .schedule import default_schedule
+
+                schedule = default_schedule(lg)
+            twin = None
+            if lg.has_materialized:
+                from .lower import inline_computed
+
+                twin = LoweredGroup(
+                    name + "_inlined", inline_computed(exprs, force=True),
+                    spec, self.dim_sizes, self.dtype,
+                )
+            groups.append(GroupPlan(name=name, group=lg, schedule=schedule,
+                                    inline_group=twin))
+        return groups
 
     @staticmethod
     def _group_signature(nr, ignore_schedule=False):

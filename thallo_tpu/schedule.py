@@ -152,6 +152,141 @@ CANDIDATES = [
 ]
 
 
+def _expr_op_count(exprs, _seen=None):
+    """Approximate FLOP count of an expression DAG (distinct Apply nodes)."""
+    from .expr import Apply, Reduction
+
+    seen = _seen if _seen is not None else set()
+    n = 0
+    stack = list(exprs)
+    while stack:
+        e = stack.pop()
+        if id(e) in seen:
+            continue
+        seen.add(id(e))
+        if isinstance(e, Apply):
+            n += 1
+            stack.extend(e.args)
+        elif isinstance(e, Reduction):
+            n += 1
+            stack.append(e.arg)
+    return n
+
+
+def _ca_uses(spec, ca):
+    """Distinct access sites of a computed array across all residual
+    expressions (before inlining)."""
+    from .expr import Apply, ImageAccess, Reduction, SampleAccess
+
+    sites = set()
+    stack = []
+    if spec.energy is not None:
+        for nr in spec.energy:
+            stack.extend(nr.exprs)
+    for other in spec.computed:
+        if other is not ca:
+            stack.extend(other.expression)
+    seen = set()
+    while stack:
+        e = stack.pop()
+        if id(e) in seen:
+            continue
+        seen.add(id(e))
+        if isinstance(e, Apply):
+            stack.extend(e.args)
+        elif isinstance(e, Reduction):
+            stack.append(e.arg)
+        elif isinstance(e, SampleAccess):
+            stack.extend(e.coords)
+        elif isinstance(e, ImageAccess) and e.image is ca:
+            sites.add(e.comps)
+    return len(sites)
+
+
+# elementwise/gathered code runs far below MXU peak; what matters for the
+# inline-vs-materialize tradeoff is recompute FLOP time vs the HBM cost of
+# writing + re-reading the value array
+EFFECTIVE_ELEMENTWISE_FLOPS = 5e12
+
+
+def select_ca_materialization(spec, log=None):
+    """Greedy ComputedArray materialize-vs-inline selection (the
+    reference's select_expressions_to_materialize, thallo.t:5192-5231):
+    materialize when recomputing the expression at every access site costs
+    more FLOP-time than the HBM traffic of one precompute pass plus
+    re-reads.  Mutates each computed Image's .materialize flag."""
+    decisions = {}
+    for ca in spec.computed:
+        ops = _expr_op_count(ca.expression)
+        uses = _ca_uses(spec, ca)
+        dom = 1
+        for d in ca.dims:
+            dom *= d.size if d.size else 1
+        c = ca.channels
+        # inlined CAs are re-evaluated by every derivative pass too
+        # (forward + one jvp per slot channel + vjp), hence the 3x
+        inline_t = 3.0 * max(uses - 1, 0) * ops * dom * c / EFFECTIVE_ELEMENTWISE_FLOPS
+        # write once + read at each use (jvp/vjp re-reads folded into the
+        # same factor on both sides)
+        mat_t = (1 + uses) * dom * c * 4 / HBM_BYTES_PER_S
+        mat = uses >= 2 and inline_t > mat_t
+        ca.materialize = mat
+        decisions[ca.name] = mat
+        if log is not None:
+            log.append(
+                f"  ca {ca.name}: ops={ops} uses={uses} "
+                f"inline_t={inline_t:.3g}s mat_t={mat_t:.3g}s -> "
+                f"{'materialize' if mat else 'inline'}"
+            )
+    return decisions
+
+
+def measurements_path():
+    import os
+
+    return os.environ.get("THALLO_MEASUREMENTS", "schedule_measurements.json")
+
+
+def group_measure_key(gp, schedule) -> str:
+    """Stable key for measured schedule timings: group shape + slots +
+    schedule (machine-model-free — measurements beat estimates,
+    ROADMAP #8)."""
+    g = gp.group
+    slots = ",".join(
+        f"{s.image.channels}ch{'x' + str(len(s.dep_cons)) if s.dep_cons else ''}"
+        f"{'roll' if g._roll_plan(s) is not None else 'gather'}"
+        for s in g.uslots
+    )
+    return f"R{g.R}_rc{g.rc}_[{slots}]_{schedule.value}"
+
+
+def load_measurements():
+    import json
+    import os
+
+    p = measurements_path()
+    if os.path.exists(p):
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+    return {}
+
+
+def record_measurement(key: str, seconds: float):
+    import json
+
+    data = load_measurements()
+    prev = data.get(key)
+    data[key] = min(prev, seconds) if prev is not None else seconds
+    try:
+        with open(measurements_path(), "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
+
 def default_schedule(g) -> JTJpSchedule:
     """TPU-first default for an unscheduled group: stencil groups run
     matrix-free LINEARIZE (roll/inverse-roll transposes are exact and
@@ -170,8 +305,12 @@ def default_schedule(g) -> JTJpSchedule:
 def heuristic_schedule(groups, lin_iter_hint: int = 10, dtype_bytes: int = 4,
                        log=None) -> List[JTJpSchedule]:
     """Pick the cheapest feasible schedule per group (reference
-    select_jtjp_materialization, thallo.t:5233-5271)."""
+    select_jtjp_materialization, thallo.t:5233-5271).  Prior measured
+    timings (autotune.autoschedule_search writes them, keyed by group
+    shape + schedule) take precedence over the analytic estimate —
+    data beats the machine model (ROADMAP #8)."""
     budget = 0.6 * HBM_BYTES
+    measured = load_measurements()
     chosen = []
     for gp in groups:
         best, best_cost = None, float("inf")
@@ -179,10 +318,20 @@ def heuristic_schedule(groups, lin_iter_hint: int = 10, dtype_bytes: int = 4,
             cost, resident = estimate_group_cost(gp, cand, lin_iter_hint, dtype_bytes)
             if resident > budget:
                 continue
+            key = group_measure_key(gp, cand)
+            m = measured.get(key)
+            # measured seconds vs estimated bytes aren't commensurate;
+            # normalize: rank by measured when available for ALL feasible
+            # candidates of this group, else by estimate
             if log is not None:
-                log.append(f"  {gp.name}: {cand.value} est_bytes={cost:.3g} resident={resident:.3g}")
-            if cost < best_cost:
-                best, best_cost = cand, cost
+                log.append(
+                    f"  {gp.name}: {cand.value} est_bytes={cost:.3g} "
+                    f"resident={resident:.3g}"
+                    + (f" measured={m * 1e3:.3f}ms" if m is not None else "")
+                )
+            score = (0, m) if m is not None else (1, cost)
+            if best is None or score < best_cost:
+                best, best_cost = cand, score
         chosen.append(best or JTJpSchedule.INLINE)
         if log is not None:
             log.append(f"  {gp.name} -> {chosen[-1].value}")

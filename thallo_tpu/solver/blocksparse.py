@@ -88,11 +88,14 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
     if R == 0:
         return None
 
+    if any(
+        isinstance(v, jax.core.Tracer) for v in jax.tree_util.tree_leaves(inputs)
+    ):
+        return None
     idxs: List[np.ndarray] = []
     for s in group.uslots:
-        flat = group._slot_flat_indices(s, inputs)
-        if isinstance(flat, jax.core.Tracer):
-            return None
+        # pure-numpy index evaluation: no eager device ops at init
+        flat = group._slot_flat_indices(s, inputs, use_np=True)
         idxs.append(np.asarray(flat).reshape(-1))
 
     # unique row tables keyed by the index array's bytes

@@ -421,6 +421,15 @@ class CompiledSolver:
                 for i in range(len(g.uslots)):
                     term = jnp.einsum("pc...,p...->pc", jacs[i], pvals[i], precision=jax.lax.Precision.HIGHEST)
                     Jp = term if Jp is None else Jp + term
+                if gp.schedule == JTJpSchedule.APPLY_SEPARATELY:
+                    # the reference's two-kernel split (createapplyjResidualwise
+                    # then createapplyjtResidualwise via a residual-indexed Jp
+                    # array, thallo.t:3754-3841): Jp is MATERIALIZED between
+                    # the J and J^T passes.  The barrier keeps XLA from fusing
+                    # across it — a real execution-strategy difference, not an
+                    # enum alias (on TPU fusion usually wins; measured in
+                    # PERF.md's schedule table).
+                    Jp = jax.lax.optimization_barrier(Jp)
                 for i in range(len(g.uslots)):
                     contrib = jnp.einsum("pc...,pc->p...", jacs[i], Jp, precision=jax.lax.Precision.HIGHEST)
                     name = g.uslots[i].image.name
