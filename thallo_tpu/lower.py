@@ -560,25 +560,52 @@ class LoweredGroup:
                     deps.append(d)
         return tuple(sorted(deps, key=self.con_domains.index))
 
-    def _bounds_value(self, b: BoundsAccess, inputs):
+    def _bounds_value(self, b: BoundsAccess, inputs, use_np=False):
         deps = self._comp_deps(b.comps)
         axes, shape = self._slot_axes(deps)
-        env = _IndexEnv(axes, shape, self._sparse_arrays(inputs))
+        env = _IndexEnv(axes, shape, self._sparse_arrays(inputs), use_np=use_np)
         ok = None
         for c, dm in zip(b.comps, b.dims):
             v = env.eval(c)
             cond = (v >= b.expand) & (v < dm.size - b.expand)
             ok = cond if ok is None else (ok & cond)
         dep_shape = tuple(d.dim.size for d in deps)
-        return ok.astype(self.dtype).reshape((self.R,) + dep_shape), deps
+        ok = ok.astype(np.float32 if use_np else self.dtype)
+        return ok.reshape((self.R,) + dep_shape), deps
 
-    def _ival_value(self, iv: IndexValue, inputs):
+    def _ival_value(self, iv: IndexValue, inputs, use_np=False):
         deps = self._comp_deps((iv.comp,))
         axes, shape = self._slot_axes(deps)
-        env = _IndexEnv(axes, shape, self._sparse_arrays(inputs))
-        val = env.eval(iv.comp).astype(self.dtype)
+        env = _IndexEnv(axes, shape, self._sparse_arrays(inputs), use_np=use_np)
+        val = env.eval(iv.comp).astype(np.float32 if use_np else self.dtype)
         dep_shape = tuple(d.dim.size for d in deps)
         return val.reshape((self.R,) + dep_shape), deps
+
+    def _gather_const_np(self, slot: SlotSpec, img_np, inputs):
+        """Pure-numpy gather of a CONST slot at init time (concrete
+        inputs): no eager device ops — on a remote-compile backend every
+        eager op is a fresh executable, which made init cost minutes."""
+        C = img_np.shape[-1]
+        rp = self._roll_plan(slot)
+        if rp is not None:
+            used, shifts = rp
+            v = img_np
+            for j, off in enumerate(shifts):
+                if off:
+                    v = np.roll(v, -off, axis=j)
+            nd = len(self.ext_shape)
+            order = list(np.argsort(used))
+            v = np.transpose(v, tuple(order) + (len(used),))
+            present = sorted(used)
+            for a in range(nd):
+                if a not in present:
+                    v = np.expand_dims(v, axis=a)
+            v = np.broadcast_to(v, self.ext_shape + (C,))
+            return v.reshape((self.R, C))
+        flat = np.asarray(self._slot_flat_indices(slot, inputs, use_np=True))
+        vals = np.take(img_np.reshape(-1, C), flat.reshape(-1), axis=0)
+        dep_shape = tuple(d.dim.size for d in slot.dep_cons)
+        return vals.reshape((self.R,) + dep_shape + (C,))
 
     def _image_array(self, im, inputs):
         a = jnp.asarray(inputs[im.name], dtype=self.dtype)
@@ -590,11 +617,34 @@ class LoweredGroup:
         sampled images — and, when the schedule materializes J^T J on a
         graph group, the static block-sparse row/col tables
         (solver/blocksparse.py)."""
-        cvals = [
-            self._gather(s, self._image_array(s.image, inputs), inputs) for s in self.cslots
-        ]
-        bpairs = [self._bounds_value(b, inputs) for b in self.col.bounds.values()]
-        ipairs = [self._ival_value(v, inputs) for v in self.col.ivals.values()]
+        concrete = not any(
+            isinstance(v, jax.core.Tracer) for v in jax.tree_util.tree_leaves(inputs)
+        )
+        if concrete:
+            # host-side (numpy) preparation + one upload per array: zero
+            # eager device compiles at init
+            def np_img(im):
+                a = np.asarray(inputs[im.name], dtype=np.float64)
+                return a.reshape(tuple(d.size for d in im.dims) + (im.channels,))
+
+            cvals = [
+                jnp.asarray(self._gather_const_np(s, np_img(s.image), inputs),
+                            dtype=self.dtype)
+                for s in self.cslots
+            ]
+            bpairs = [self._bounds_value(b, inputs, use_np=True)
+                      for b in self.col.bounds.values()]
+            bpairs = [(jnp.asarray(v, dtype=self.dtype), d) for v, d in bpairs]
+            ipairs = [self._ival_value(v, inputs, use_np=True)
+                      for v in self.col.ivals.values()]
+            ipairs = [(jnp.asarray(v, dtype=self.dtype), d) for v, d in ipairs]
+        else:
+            cvals = [
+                self._gather(s, self._image_array(s.image, inputs), inputs)
+                for s in self.cslots
+            ]
+            bpairs = [self._bounds_value(b, inputs) for b in self.col.bounds.values()]
+            ipairs = [self._ival_value(v, inputs) for v in self.col.ivals.values()]
         params = {
             p.name: jnp.asarray(inputs[p.name], dtype=self.dtype)
             for p in self.col.params.values()
@@ -606,9 +656,6 @@ class LoweredGroup:
             ]
             simgs[name] = arrs
         stables = {}
-        concrete = not any(
-            isinstance(v, jax.core.Tracer) for v in jax.tree_util.tree_leaves(inputs)
-        )
         # Experimental scatter-free segment sum (ops/segsum.py).  Measured
         # on TPU v5e (261k rows -> 65k segments, C=3): XLA scatter-add
         # ~3.5 ms, destination-tiled one-hot (XLA einsum) ~3.9 ms, Pallas

@@ -101,7 +101,8 @@ class Plan:
         _known = {"use_autoscheduler", "lin_iter_hint", "solver_parameters",
                   "timing_level", "verbosity", "guarded_invert_type",
                   "jacobi_scaling", "linear_solver", "trace_dir",
-                  "profile_compile", "debug_check_finite"}
+                  "profile_compile", "debug_check_finite", "block_dtype",
+                  "steps_per_dispatch"}
         bad = set(options) - _known
         if bad:
             raise ValueError(f"unknown plan option(s): {sorted(bad)}")
@@ -191,6 +192,7 @@ class Plan:
         self.solver_parameters.update(options.get("solver_parameters", {}))
         self.timing_level = int(options.get("timing_level", 1))
         self.verbosity = int(options.get("verbosity", 0))
+        self.steps_per_dispatch = int(options.get("steps_per_dispatch", 1))
         # jax.profiler trace of the solve (the analog of the reference's
         # timingLevel>=2 CUDA-event kernel traces, util.t:774-790)
         self.trace_dir = options.get("trace_dir")
@@ -451,12 +453,25 @@ class Plan:
         if n <= 0:
             self._finished = True
             return 0
-        fn = self._donated_step()
         U, lm = self._U, self._lm
         cin, sp, prep = self._step_inputs(), self._sp(), self._prep
+        k = int(getattr(self, "steps_per_dispatch", 1))
         with self.timer.event("Nonlinear Iteration"):
-            for _ in range(n):
-                U, lm, stop, _ = fn(U, lm, cin, sp, prep)
+            if k > 1 and not self.compiled.uses_lambda:
+                # fold k GN steps into one executable (lax.scan) so the
+                # per-dispatch host overhead amortizes over k nonlinear
+                # iterations (ROADMAP #3); remainder runs single steps
+                sfn = self._scan_step(k)
+                stop = jnp.asarray(False)
+                for _ in range(n // k):
+                    U, lm, stop, _ = sfn(U, lm, cin, sp, prep)
+                fn = self._donated_step()
+                for _ in range(n - (n // k) * k):
+                    U, lm, stop, _ = fn(U, lm, cin, sp, prep)
+            else:
+                fn = self._donated_step()
+                for _ in range(n):
+                    U, lm, stop, _ = fn(U, lm, cin, sp, prep)
         self._U, self._lm = U, lm
         self._iter += n
         if comp.uses_lambda and bool(stop):
@@ -464,6 +479,25 @@ class Plan:
         if self._iter >= int(self.solver_parameters["nIterations"]):
             self._finished = True
         return n
+
+    def _scan_step(self, k: int):
+        """k nonlinear GN iterations scanned inside ONE jit."""
+        cache = getattr(self, "_scan_step_fns", {})
+        if k not in cache:
+            comp = self.compiled
+
+            def multi(U, lm, inputs, sp, prep):
+                def body(carry, _):
+                    Uc, lmc = carry
+                    U2, lm2, stop, cost = comp.nonlinear_step(Uc, lmc, inputs, sp, prep)
+                    return (U2, lm2), cost
+                (U, lm), costs = jax.lax.scan(body, (U, lm), None, length=k)
+                return U, lm, jnp.asarray(False), costs[-1]
+
+            donate = () if jax.default_backend() == "cpu" else (0, 1)
+            cache[k] = jax.jit(multi, donate_argnums=donate)
+            self._scan_step_fns = cache
+        return cache[k]
 
     def _donated_step(self):
         if getattr(self, "_donated_step_fn", None) is None:

@@ -178,7 +178,7 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
     )
 
 
-def bsr_setup(bsr: GroupBsr, r, jacs, dtype):
+def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None):
     """Once per nonlinear iteration: assemble J^T r, diag(J^T J) and all
     unknown-pair blocks, row-sorted, with one wide payload gather per row
     table (scatter-free; replaces creatematerializejtjResidualwise +
@@ -254,10 +254,17 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype):
                 i, j = pr[0], pr[1]
                 Ci, Cj = bsr.slot_channels[i], bsr.slot_channels[j]
                 if pr[2] == "diag":
-                    blocks[p_idx] = gsum[:, off:off + width].reshape(-1, Ci, Cj)
+                    blk = gsum[:, off:off + width].reshape(-1, Ci, Cj)
                 else:
                     N, D = perm.shape
-                    blocks[p_idx] = g[:, :, off:off + width].reshape(N, D, Ci, Cj)
+                    blk = g[:, :, off:off + width].reshape(N, D, Ci, Cj)
+                if block_dtype is not None:
+                    # bf16 block STORAGE halves the dominant per-PCG-step
+                    # HBM read; products upcast back (ROADMAP #2 bf16
+                    # experiment — J^T r / diag / setup stay full
+                    # precision)
+                    blk = blk.astype(block_dtype)
+                blocks[p_idx] = blk
             off += width
     return jtr_out, d2_out, blocks
 
@@ -280,17 +287,20 @@ def bsr_apply(bsr: GroupBsr, blocks, p):
     acc: Dict[int, jnp.ndarray] = {}  # row slot -> [N, Ci]
     for p_idx, pr in enumerate(bsr.pairs):
         i, j = pr[0], pr[1]
+        blk = blocks[p_idx]
+        if blk.dtype != p[bsr.slot_images[i]].dtype:
+            blk = blk.astype(p[bsr.slot_images[i]].dtype)  # bf16 storage
         if pr[2] == "diag":
             name_j = bsr.slot_images[j]
             Cj = bsr.slot_channels[j]
             pj = p[name_j].reshape(-1, Cj)
             # [N,a,b]x[N,b] block matvec as a VPU multiply-sum (see note
             # in bsr_setup on MXU padding for tiny dots)
-            contrib = jnp.sum(blocks[p_idx] * pj[:, None, :], axis=2)
+            contrib = jnp.sum(blk * pj[:, None, :], axis=2)
         else:
             # [N,D,a,b]x[N,D,b] -> [N,a]
             contrib = jnp.sum(
-                blocks[p_idx] * pg[pr[3]][:, :, None, :], axis=(1, 3)
+                blk * pg[pr[3]][:, :, None, :], axis=(1, 3)
             )
         acc[i] = acc.get(i, 0) + contrib
     for i, v in acc.items():

@@ -180,6 +180,10 @@ class CompiledSolver:
         # (reference enable_direct_solve / cublasDirectSolve,
         # gauss_newton.t:22,1280-1328)
         self.direct_solve = bool(options.get("linear_solver", "pcg") == "direct")
+        # bf16 block-sparse JtJ storage (dots/preconditioner stay f32):
+        # halves the dominant per-PCG-step HBM read for graph energies
+        bd = options.get("block_dtype")
+        self.block_dtype = jnp.bfloat16 if bd in ("bf16", "bfloat16") else None
         self._exclude_fns = {}
         for im in spec.unknowns:
             if im.exclude_expr is not None:
@@ -309,7 +313,8 @@ class CompiledSolver:
                 # assembled through the padded row tables in one pass
                 from .blocksparse import bsr_setup
 
-                jtr_d, d2_d, blocks = bsr_setup(bsr, r, jacs, self.dtype)
+                jtr_d, d2_d, blocks = bsr_setup(bsr, r, jacs, self.dtype,
+                                                block_dtype=self.block_dtype)
                 jac_store[str(gi)] = {"bsr": blocks}
                 for name, v in jtr_d.items():
                     mjtf[name] = mjtf[name] - v
