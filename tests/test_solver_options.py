@@ -169,3 +169,31 @@ def test_reset_unknowns():
     assert np.isclose(plan.cost(), c0, rtol=1e-6)
     # and it can solve again from scratch
     assert plan.solve() < c0
+
+
+def test_block_dtype_and_scan_dispatch():
+    """bf16 block-sparse storage + multi-step scan dispatch options:
+    scan must be bit-equal to single-step; bf16 must converge nearby."""
+    import thallo_tpu.schedule as sched
+    from thallo_tpu.models import arap_mesh_deformation as arap
+
+    side = 10
+    N = side * side
+    ai = arap.synthetic_inputs(side=side)
+    E = len(ai["V0"])
+    old = sched.DENSE_JTJ_MAX_UNKNOWNS
+    sched.DENSE_JTJ_MAX_UNKNOWNS = 1  # force the block-sparse path
+    try:
+        finals = {}
+        for name, opts in [("base", {}), ("bf16", {"block_dtype": "bf16"}),
+                           ("scan4", {"steps_per_dispatch": 4})]:
+            spec = arap.make_spec()
+            plan = spec.plan({"N": N, "E": E}, solver="gauss_newton", **opts)
+            plan.set_solver_parameter("nIterations", 8)
+            plan.set_solver_parameter("lIterations", 10)
+            plan.init(ai)
+            finals[name] = plan.solve()
+        assert abs(finals["scan4"] - finals["base"]) / finals["base"] < 1e-5
+        assert abs(finals["bf16"] - finals["base"]) / finals["base"] < 0.05
+    finally:
+        sched.DENSE_JTJ_MAX_UNKNOWNS = old
