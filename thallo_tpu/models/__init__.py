@@ -2,6 +2,7 @@
 Python DSL) plus synthetic data generators for tests/benchmarks."""
 from . import arap_mesh_deformation  # noqa: F401
 from . import bundle_adjustment  # noqa: F401
+from . import bundle_fusion  # noqa: F401
 from . import cotangent_mesh_smoothing  # noqa: F401
 from . import embedded_mesh_deformation  # noqa: F401
 from . import face_fitting  # noqa: F401
@@ -22,6 +23,7 @@ REGISTRY = {
     "poisson_image_editing": poisson_image_editing,
     "arap_mesh_deformation": arap_mesh_deformation,
     "bundle_adjustment": bundle_adjustment,
+    "bundle_fusion": bundle_fusion,
     "volumetric_mesh_deformation": volumetric_mesh_deformation,
     "embedded_mesh_deformation": embedded_mesh_deformation,
     "robust_nonrigid_alignment": robust_nonrigid_alignment,
