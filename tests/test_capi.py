@@ -20,7 +20,7 @@ def test_capi_build_and_run():
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     r = subprocess.run(["make", "-s"], cwd=CAPI, env=env, capture_output=True, text=True)
     assert r.returncode == 0, r.stderr[-2000:]
-    for exe in ["bin/test_minimal", "bin/test_cpp_solver"]:
+    for exe in ["bin/test_minimal", "bin/test_cpp_solver", "bin/test_bal_solver"]:
         r = subprocess.run(
             [os.path.join(CAPI, exe)], cwd=CAPI, env=env,
             capture_output=True, text=True, timeout=600,

@@ -47,7 +47,7 @@ class GroupBsr:
     # children (device arrays)
     perms: Tuple[jnp.ndarray, ...]       # per row table: [N, D] int32 into [0, R)
     masks: Tuple[jnp.ndarray, ...]       # per row table: [N, D] float (1 = valid)
-    cols: Tuple[jnp.ndarray, ...]        # per col table: [N, D] int32 element ids
+    cols: Tuple[jnp.ndarray, ...]        # per col table: [D, N] int32 element ids
     # aux (static python data)
     slot_row: Tuple[int, ...]            # slot i -> row table index
     pairs: Tuple[tuple, ...]             # (i, j, "diag") | (i, j, "col", gather_idx)
@@ -151,10 +151,12 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
                 continue
             ck = (t, idxs[j].tobytes())
             if ck not in col_key:
-                # column element ids aligned to row table t's padded layout
+                # column element ids aligned to row table t's padded
+                # layout, stored [D, N] so every gather keyed by them
+                # lands N in the 128-lane dim (see bsr_apply layout note)
                 colt = idxs[j][rt["perm"]].astype(np.int32)
                 col_key[ck] = len(col_tables)
-                col_tables.append(colt)
+                col_tables.append(np.ascontiguousarray(colt.T))
             gk = (col_key[ck], sj.image.name)
             if gk not in gather_key:
                 gather_key[gk] = len(gathers)
@@ -253,11 +255,19 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None):
                 pr = bsr.pairs[p_idx]
                 i, j = pr[0], pr[1]
                 Ci, Cj = bsr.slot_channels[i], bsr.slot_channels[j]
+                # CHANNEL-MAJOR, N-LAST storage: a [*,3,3] buffer would
+                # be (8,128)-tiled on its trailing dims — a ~113x
+                # physical blowup that made each PCG iteration read
+                # gigabytes (measured; the whole reason this layout
+                # exists).  [Ci*Cj(*D), N] keeps N in the lane dim and
+                # pads only the sublane dim (9->16 / 36->40, <2x).
                 if pr[2] == "diag":
-                    blk = gsum[:, off:off + width].reshape(-1, Ci, Cj)
+                    blk = gsum[:, off:off + width].T  # [Ci*Cj, N]
                 else:
                     N, D = perm.shape
-                    blk = g[:, :, off:off + width].reshape(N, D, Ci, Cj)
+                    blk = jnp.transpose(
+                        g[:, :, off:off + width], (2, 1, 0)
+                    ).reshape(width * D, N)  # [(ci*Cj+cj)*D+d, n]
                 if block_dtype is not None:
                     # bf16 block STORAGE halves the dominant per-PCG-step
                     # HBM read; products upcast back (ROADMAP #2 bf16
@@ -275,35 +285,47 @@ def bsr_apply(bsr: GroupBsr, blocks, p):
     reference's cusparseJTJMatVec / PCGStep1_materializedJTJ,
     gauss_newton.t:554-625,1447-1526).
 
+    Layout discipline (TPU): every buffer this loop touches keeps the
+    big axis N LAST (the 128-lane dim) and folds the small channel /
+    degree axes into the sublane dim — blocks [Ci*Cj*D, N], gathered
+    column operands [Cj, D, N], accumulator [Ci, N], all <2x physical
+    padding.  Naive [N,D,Ci,Cj]/[N*D,C] shapes pad their trailing dims
+    ~40-110x and measured ~12 ms per 261k-edge PCG iteration end-to-end
+    (PERF.md "the minor-dim tiling wall").
+
     p: unknown pytree.  Returns dict image -> [*imshape] contribution.
     """
-    # gather the column operands once per unique (col table, image)
+    # channel-major views of the operand vectors, once per image
+    pT = {}
+    for img in set(bsr.slot_images):
+        C = p[img].shape[-1]
+        pT[img] = p[img].reshape(-1, C).T  # [C, N_img]
+    # one [C, D, N] gather per unique (col table, image)
     pg = {}
     for gidx, (ct, img, C) in enumerate(bsr.col_gathers):
-        flatp = p[img].reshape(-1, C)
-        N, D = bsr.cols[ct].shape
-        pg[gidx] = jnp.take(flatp, bsr.cols[ct].reshape(-1), axis=0).reshape(N, D, C)
+        D, N = bsr.cols[ct].shape
+        pg[gidx] = jnp.take(
+            pT[img], bsr.cols[ct].reshape(-1), axis=1
+        ).reshape(C, D, N)
     out: Dict[str, jnp.ndarray] = {}
-    acc: Dict[int, jnp.ndarray] = {}  # row slot -> [N, Ci]
+    acc: Dict[int, jnp.ndarray] = {}  # row slot -> [Ci, N]
     for p_idx, pr in enumerate(bsr.pairs):
         i, j = pr[0], pr[1]
+        Ci = bsr.slot_channels[i]
+        Cj = bsr.slot_channels[j]
         blk = blocks[p_idx]
         if blk.dtype != p[bsr.slot_images[i]].dtype:
             blk = blk.astype(p[bsr.slot_images[i]].dtype)  # bf16 storage
         if pr[2] == "diag":
-            name_j = bsr.slot_images[j]
-            Cj = bsr.slot_channels[j]
-            pj = p[name_j].reshape(-1, Cj)
-            # [N,a,b]x[N,b] block matvec as a VPU multiply-sum (see note
-            # in bsr_setup on MXU padding for tiny dots)
-            contrib = jnp.sum(blk * pj[:, None, :], axis=2)
+            pjT = pT[bsr.slot_images[j]]  # [Cj, N]
+            B = blk.reshape(Ci, Cj, -1)  # [Ci, Cj, N]
+            contrib = jnp.sum(B * pjT[None, :, :], axis=1)  # [Ci, N]
         else:
-            # [N,D,a,b]x[N,D,b] -> [N,a]
-            contrib = jnp.sum(
-                blk * pg[pr[3]][:, :, None, :], axis=(1, 3)
-            )
+            D, N = bsr.cols[bsr.col_gathers[pr[3]][0]].shape
+            B = blk.reshape(Ci, Cj, D, N)
+            contrib = jnp.sum(B * pg[pr[3]][None], axis=(1, 2))  # [Ci, N]
         acc[i] = acc.get(i, 0) + contrib
     for i, v in acc.items():
         name = bsr.slot_images[i]
-        out[name] = out.get(name, 0) + v.reshape(bsr.image_shapes[name])
+        out[name] = out.get(name, 0) + v.T.reshape(bsr.image_shapes[name])
     return out
