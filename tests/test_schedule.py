@@ -177,3 +177,51 @@ def test_autoschedule_search_measures_all():
 
     assert load_measurements()
     del os.environ["THALLO_MEASUREMENTS"]
+
+
+def test_reorder_is_real_and_answer_invariant():
+    """reorder() permutes the group's external iteration order (the
+    reference's loop-order directive, thallo.t:5665) — observable in the
+    lowered group, invariant in the answer."""
+    base = tl.load_energy(LAPLACIAN)
+    pd = base.plan({"W": 10, "H": 10})
+    default_orders = {g.name: [d.dim.name for d in g.group.ext_domains]
+                      for g in pd.compiled.groups}
+
+    SRC = LAPLACIAN + "\nr.reg.reorder([y, x])\n"
+    spec = tl.load_energy(SRC)
+    pr = spec.plan({"W": 10, "H": 10})
+    reordered = {g.name: [d.dim.name for d in g.group.ext_domains]
+                 for g in pr.compiled.groups}
+    # the reg group must now iterate H-major
+    reg_name = next(n for n in reordered if "reg" in n)
+    assert reordered[reg_name][0] == "H", reordered
+    assert default_orders[reg_name][0] == "W", default_orders
+    np.testing.assert_allclose(
+        _solve(pr, _inputs(10)), _solve(base.plan({"W": 10, "H": 10}), _inputs(10)),
+        rtol=1e-4)
+
+
+def test_exhaustive_enumerates_domain_orders():
+    """The exhaustive space includes domain permutations (reference
+    generate_all_schedules, thallo.t:4318-4482): some candidate index
+    must produce an H-major group, with an unchanged answer."""
+    from thallo_tpu.schedule import enumerate_domain_orders
+
+    base = tl.load_energy(LAPLACIAN)
+    pd = base.plan({"W": 10, "H": 10})
+    dorders = enumerate_domain_orders([g for g in pd.compiled.groups])
+    assert len(dorders) > 1  # default + at least one permutation
+    ref = _solve(pd, _inputs(10))
+
+    found = False
+    for idx in range(1, 4):
+        spec = tl.load_energy(LAPLACIAN)
+        plan = spec.plan({"W": 10, "H": 10}, use_autoscheduler=3 + idx)
+        orders = [[d.dim.name for d in g.group.ext_domains]
+                  for g in plan.compiled.groups]
+        if any(o[0] == "H" for o in orders):
+            found = True
+            np.testing.assert_allclose(_solve(plan, _inputs(10)), ref, rtol=1e-3)
+            break
+    assert found, "no candidate produced a permuted domain order"

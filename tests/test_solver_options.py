@@ -197,3 +197,31 @@ def test_block_dtype_and_scan_dispatch():
         assert abs(finals["bf16"] - finals["base"]) / finals["base"] < 0.05
     finally:
         sched.DENSE_JTJ_MAX_UNKNOWNS = old
+
+
+def test_kernel_stats_table():
+    """timingLevel>=3 populates per-kernel probe rows (the reference's
+    per-kernel CUDA-event table, util.t:774-790)."""
+    import thallo_tpu as tl
+
+    src = """
+W, H = Dims("W", "H")
+Inputs(X=Unknown(float, (W, H), 0), A=Array(float, (W, H), 1))
+x, y = W(), H()
+r = Residuals(fit=0.2 * (X(x, y) - A(x, y)),
+              reg=Select(InBounds(x + 1, y), X(x, y) - X(x + 1, y), 0))
+"""
+    a = np.random.RandomState(0).rand(16, 16).astype(np.float32)
+    plan = tl.load_energy(src).plan({"W": 16, "H": 16},
+                                    solver="levenberg_marquardt",
+                                    timing_level=3)
+    plan.set_solver_parameter("nIterations", 2)
+    plan.init({"X": a.copy(), "A": a})
+    plan.solve()
+    s = plan.get_performance_summary()
+    for k in ["computeCost", "PCGInit1", "PCGStep1", "PCGStep2", "PCGStep3",
+              "PCGLinearUpdate", "Linear Solve", "Nonlinear Finish",
+              "Nonlinear Setup", "Nonlinear Iteration", "Total"]:
+        assert s.get(k) and s[k]["count"] > 0, k
+        assert s[k]["mean_ms"] > 0, k
+    assert "PCGStep1" in s.markdown()

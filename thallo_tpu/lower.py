@@ -358,7 +358,8 @@ class LoweredGroup:
       scatter_slot(i, vals, inputs)    -> image-shaped sum-scatter
     """
 
-    def __init__(self, name: str, exprs: List[Exp], spec, sizes: Dict[str, int], dtype):
+    def __init__(self, name: str, exprs: List[Exp], spec, sizes: Dict[str, int], dtype,
+                 domain_order=None):
         self.name = name
         self.dtype = dtype
         self.spec = spec
@@ -369,7 +370,19 @@ class LoweredGroup:
             col.walk(e, frozenset())
         col.finalize()
         self.col = col
-        self.ext_domains = col.ext_domains
+        self.ext_domains = list(col.ext_domains)
+        if domain_order:
+            # user/autoscheduler reorder directive (reference
+            # thallo.t:5665): permute the external iteration order.  The
+            # listed domains come first in the given order; unlisted ones
+            # keep discovery order.  On TPU this decides the row-major
+            # flattening of the residual grid — i.e. which domain varies
+            # fastest in every gather/scatter index table and which axis
+            # of multi-dim intermediates lands in the 128-lane tile.
+            want = [d for d in domain_order if d in self.ext_domains]
+            self.ext_domains = want + [d for d in self.ext_domains
+                                       if d not in want]
+        self.domain_order = tuple(self.ext_domains)
         self.con_domains = col.con_domains
         both = set(self.ext_domains) & set(self.con_domains)
         if both:

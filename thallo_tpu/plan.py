@@ -137,7 +137,7 @@ class Plan:
             # inline powerset x per-group schedule combos (the reference
             # enumerates schedules x domain permutations x CA powersets,
             # generate_all_schedules thallo.t:4318-4482)
-            from .schedule import enumerate_schedules
+            from .schedule import enumerate_domain_orders, enumerate_schedules
 
             idx = auto - 3
             n_ca = len(spec.computed)
@@ -148,21 +148,33 @@ class Plan:
                         ca.materialize = bool((ca_bits >> b) & 1)
                     groups = self._build_groups(spec, auto, merge_all=merge_all)
                     combos = enumerate_schedules(groups)
-                    if idx < len(combos):
-                        chosen = (groups, combos[idx], merge_all, ca_bits)
+                    dorders = enumerate_domain_orders(groups)
+                    total = len(combos) * len(dorders)
+                    if idx < total:
+                        combo = combos[idx // len(dorders)]
+                        dorder = dorders[idx % len(dorders)]
+                        if any(o is not None for o in dorder):
+                            # rebuild with the permuted external orders
+                            groups = self._build_groups(
+                                spec, auto, merge_all=merge_all,
+                                domain_orders=dorder)
+                        chosen = (groups, combo, merge_all, ca_bits, dorder)
                         break
-                    idx -= len(combos)
+                    idx -= total
                 if chosen:
                     break
             if chosen is None:
                 raise IndexError(f"autoschedule index {auto - 3} exhausted")
-            groups, combo, merge_all, ca_bits = chosen
+            groups, combo, merge_all, ca_bits, dorder = chosen
             for gp, s in zip(groups, combo):
                 gp.schedule = s
             self._log_schedules(
                 [f"exhaustive candidate {auto - 3}: merge={merge_all} "
                  f"ca_bits={ca_bits:b} "
-                 + ", ".join(f"{gp.name}={s.value}" for gp, s in zip(groups, combo))]
+                 + ", ".join(f"{gp.name}={s.value}" for gp, s in zip(groups, combo))
+                 + "".join(
+                     f" reorder[{gp.name}]=" + ">".join(d.name for d in o)
+                     for gp, o in zip(groups, dorder) if o is not None)]
             )
         else:
             groups = self._build_groups(spec, auto, merge_all=True)
@@ -207,13 +219,19 @@ class Plan:
         self._finished = False
         self._iter = 0
 
-    def _build_groups(self, spec, auto, merge_all=True):
+    def _build_groups(self, spec, auto, merge_all=True, domain_orders=None):
         """Group residuals by identical (external domains, schedule) — the
         reference's toresidualgroups (thallo.t:4149-4201) — so e.g.
         image_warping's 4 reg + 1 fit residuals become ONE kernel.
         Explicit energy.merge() requests are honored first; merge_all=False
         (exhaustive split candidates) keeps every named residual its own
-        group (reference split/full_split, thallo.t:5678-5727)."""
+        group (reference split/full_split, thallo.t:5678-5727).
+
+        domain_orders (exhaustive autoscheduler): per-group external
+        domain orderings, positionally aligned with a previous
+        identically-keyed build (reference domain permutations in
+        generate_all_schedules, thallo.t:4318-4482).  In directive mode
+        (auto=0) each residual's user reorder() applies instead."""
         merged_names = {}
         energy = spec.energy
         for mg in energy._merges:
@@ -234,14 +252,21 @@ class Plan:
                 order.append(key)
             bucket[key][1].append(nr)
         groups = []
-        for key in order:
+        for g_idx, key in enumerate(order):
             name, nrs = bucket[key]
             exprs = []
             for nr in nrs:
                 exprs.extend(nr.exprs)
             name = "_".join(nr.name for nr in nrs) if len(nrs) > 1 else name
             schedule = JTJpSchedule.LINEARIZE if auto >= 1 else nrs[0].get_schedule()
-            lg = LoweredGroup(name, exprs, spec, self.dim_sizes, self.dtype)
+            if domain_orders is not None and g_idx < len(domain_orders):
+                dorder = domain_orders[g_idx]
+            elif auto == 0:
+                dorder = next((nr._reorder for nr in nrs if nr._reorder), None)
+            else:
+                dorder = None  # autoscheduler clears directives (thallo.t:5166)
+            lg = LoweredGroup(name, exprs, spec, self.dim_sizes, self.dtype,
+                              domain_order=dorder)
             user_directed = any(any(nr._materialize.values()) for nr in nrs)
             if auto == 0 and not user_directed:
                 from .schedule import default_schedule
@@ -253,7 +278,7 @@ class Plan:
 
                 twin = LoweredGroup(
                     name + "_inlined", inline_computed(exprs, force=True),
-                    spec, self.dim_sizes, self.dtype,
+                    spec, self.dim_sizes, self.dtype, domain_order=dorder,
                 )
             groups.append(GroupPlan(name=name, group=lg, schedule=schedule,
                                     inline_group=twin))
@@ -399,6 +424,10 @@ class Plan:
             self._finished = True
             return False
         invasive = self.timing_level >= 2
+        if self.timing_level >= 3 and self._iter == 0:
+            # per-kernel probe rows once per solve (reference invasive
+            # per-kernel timing, Thallo.h:19-25 / util.t:774-790)
+            self.kernel_stats()
         with self.timer.event("Nonlinear Iteration"):
             if invasive:
                 # phase-split stepping: each of the reference's named
@@ -619,6 +648,40 @@ class Plan:
         return comp.coo_jacobian(self._U, ins, consts, masks)
 
     def get_performance_summary(self) -> PerfSummary:
+        return self.timer.summary()
+
+    def kernel_stats(self, n_probe: int = 3) -> PerfSummary:
+        """Per-kernel timing rows (reference timingLevel 2/3 per-kernel
+        CUDA-event table, util.t:774-790).  Each solver-facing kernel
+        (computeCost / PCGInit1 / PCGStep1/2/3 / PCGLinearUpdate) is
+        probed in isolation n_probe times with a device sync and pushed
+        into the same stats the markdown table renders.  Runs
+        automatically on the first step at timingLevel>=3; XLA fuses the
+        production step, so these rows are isolated-probe measurements,
+        not interior timings of the fused executable."""
+        if self._U is None:
+            raise RuntimeError("call init() before kernel_stats()")
+        comp = self.compiled
+        ins, sp, prep = self._step_inputs(), self._sp(), self._prep
+        probes = comp.kernel_probe_fns()
+        setup_jit = jax.jit(probes["PCGInit1"])
+        state = setup_jit(self._U, self._lm, ins, sp, prep)
+        jax.block_until_ready(state)
+        calls = {
+            "computeCost": lambda f: f(self._U, ins, prep),
+            "PCGInit1": lambda f: f(self._U, self._lm, ins, sp, prep),
+            "PCGStep1": lambda f: f(self._U, state, ins, sp, prep),
+            "PCGStep2": lambda f: f(state),
+            "PCGStep3": lambda f: f(state),
+            "PCGLinearUpdate": lambda f: f(self._U, state),
+        }
+        for name, fn in probes.items():
+            jfn = setup_jit if name == "PCGInit1" else jax.jit(fn)
+            call = calls[name]
+            jax.block_until_ready(call(jfn))  # compile + warm
+            for _ in range(n_probe):
+                with self.timer.event(name):
+                    jax.block_until_ready(call(jfn))
         return self.timer.summary()
 
     @property

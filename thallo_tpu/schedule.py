@@ -338,6 +338,32 @@ def heuristic_schedule(groups, lin_iter_hint: int = 10, dtype_bytes: int = 4,
     return chosen
 
 
+def enumerate_domain_orders(groups, max_per_group: int = 6, max_total: int = 16):
+    """Per-group external-domain orderings for the exhaustive
+    autoscheduler (the reference enumerates schedules x domain
+    permutations, generate_all_schedules thallo.t:4318-4482).  Entry 0 is
+    all-default (discovery order, encoded None).  Only groups with 2-3
+    external domains contribute permutations — the ordering decides the
+    row-major flattening of the residual grid (gather/scatter index
+    locality + which axis tiles onto lanes), which is only a real choice
+    for multi-dim domains."""
+    per_group = []
+    for gp in groups:
+        doms = list(gp.group.ext_domains)
+        opts = [None]
+        if 2 <= len(doms) <= 3:
+            for p in itertools.permutations(doms):
+                if list(p) != doms and len(opts) < max_per_group:
+                    opts.append(list(p))
+        per_group.append(opts)
+    out = []
+    for combo in itertools.product(*per_group):
+        out.append(list(combo))
+        if len(out) >= max_total:
+            break
+    return out
+
+
 def enumerate_schedules(groups, max_candidates: int = 2000, seed: int = 0):
     """Per-group schedule combinations with memory pruning; sampled
     WITHOUT materializing the cartesian product when it explodes

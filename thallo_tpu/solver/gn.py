@@ -209,6 +209,60 @@ class CompiledSolver:
             )
         return self._phase_jits
 
+    def kernel_probe_fns(self):
+        """Jitted probes of the solver-facing kernels for the per-kernel
+        timing table (timingLevel>=3, Plan.kernel_stats).  The reference
+        wraps every kernel launch in CUDA events and aggregates by kernel
+        name (util.t:774-790, makeGPUFunctions groups per-group launchers
+        under one solver-facing name); under XLA the step compiles to a
+        few fused executables, so each logical kernel is probed in
+        isolation instead.  Names match the reference's gauss_newton.t
+        kernel families."""
+        dtype = self.dtype
+
+        def compute_cost(U, inputs, prep):
+            return self.cost(U, inputs, prep["consts"])
+
+        def pcg_step1(U, state, inputs, sp, prep):
+            # J^T J p + damping + alpha denominator (gauss_newton.t:
+            # 1006-1016 PCGStep1)
+            apply_jtjp = self.make_jtjp(
+                U, inputs, prep["consts"], state["masks"], state["jac_store"],
+                prep["twin_consts"])
+            p0 = tree_mul(state["pre"], state["r0"])
+            Ap = apply_jtjp(p0)
+            if self.uses_lambda:
+                Ap = tree_add(Ap, tree_mul(state["CtC"], p0))
+            return Ap, tree_dot(p0, Ap)
+
+        def pcg_step2(state):
+            # x/r/z updates + beta numerator (PCGStep2)
+            alpha = jnp.asarray(0.5, dtype)
+            r0, pre = state["r0"], state["pre"]
+            delta = tree_scale(r0, alpha)
+            r = tree_axpy(-alpha, r0, r0)
+            z = tree_mul(pre, r)
+            return delta, r, z, tree_dot(z, r)
+
+        def pcg_step3(state):
+            # p = z + beta p (PCGStep3)
+            beta = jnp.asarray(0.25, dtype)
+            z = tree_mul(state["pre"], state["r0"])
+            return tree_axpy(beta, state["r0"], z)
+
+        def linear_update(U, state):
+            # X += delta (PCGLinearUpdate)
+            return tree_axpy(jnp.asarray(1.0, dtype), state["r0"], U)
+
+        return {
+            "computeCost": compute_cost,
+            "PCGInit1": self.solve_setup,
+            "PCGStep1": pcg_step1,
+            "PCGStep2": pcg_step2,
+            "PCGStep3": pcg_step3,
+            "PCGLinearUpdate": linear_update,
+        }
+
     # -- masks -------------------------------------------------------------
     def masks(self, inputs, U):
         """Active-mask pytree: 1 where the unknown may move, 0 where

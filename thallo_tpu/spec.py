@@ -86,8 +86,15 @@ class NamedResidual:
         return _MaterializeHandle(self, "Jp")
 
     def reorder(self, domains):
-        """Domain-order hint (reference thallo.t:5665).  XLA owns loop
-        nests on TPU, so this is retained as metadata only."""
+        """Set this residual group's external iteration order (reference
+        thallo.t:5665).  On TPU the order decides the row-major
+        flattening of the residual grid: which domain varies fastest in
+        every gather/scatter index table and which axis of multi-dim
+        intermediates lands in the 128-lane tile (the locality role the
+        reference's loop order plays for warp coherence).  The listed
+        domains come first; unlisted ones keep discovery order.
+        Answer-invariant; enumerated by the exhaustive autoscheduler
+        (schedule.enumerate_domain_orders)."""
         self._reorder = list(domains)
         return self
 
