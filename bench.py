@@ -75,8 +75,8 @@ def bench_image_warping(W=512, H=512, n_steps=32, l_iters=16):
     return iters_per_s, tt, converged
 
 
-def bench_bundle_adjustment(n_cameras, n_points, obs_per_point=4, n_steps=6,
-                            l_iters=16):
+def bench_bundle_adjustment(n_cameras, n_points, obs_per_point=4, n_steps=8,
+                            l_iters=16, scan_k=4):
     """The second north-star workload (BASELINE.json): Snavely BA."""
     from thallo_tpu.models import bundle_adjustment as ba
 
@@ -91,11 +91,14 @@ def bench_bundle_adjustment(n_cameras, n_points, obs_per_point=4, n_steps=6,
     plan.set_solver_parameter("q_tolerance", 0.0)  # keep the inner loop full
     plan.set_solver_parameter("function_tolerance", 0.0)
     c0 = plan.init(inputs)
-    plan.step()
+    # LM trust-region stop stays ON DEVICE inside the scanned dispatch
+    # (plan._scan_step): no per-step host sync, like the reference's
+    # fused-kernel steps but without its per-iter D2H of Q
+    plan.steps_per_dispatch = scan_k
+    plan.run_steps(scan_k)
     jax.block_until_ready(plan._U)
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        plan.step()  # LM reads the device-side stop flag each step
+    plan.run_steps(n_steps)
     jax.block_until_ready(plan._U)
     dt = time.perf_counter() - t0
     iters_per_s = n_steps * l_iters / dt

@@ -415,6 +415,34 @@ class LoweredGroup:
                 # to the CA's declared domain order
                 perm = [sub.ext_domains.index(d) for d in im.domains]
                 self.computed_groups[im.name] = (im, sub, perm)
+        # Composed unknown accesses for materialized computed arrays: for
+        # each CA access m and each unknown slot k of the CA's defining
+        # expression, the chain rule contributes through the COMPOSED
+        # index (k's comps with the CA's domains substituted by m's
+        # comps).  This is the TPU analog of the reference's
+        # auto-generated CA gradient images (thallo.t:1777-1822): the
+        # gradient array dCA/du_k is materialized over the CA's domains
+        # and gathered at m's index, and the resulting per-point Jacobian
+        # block scatters through the composed access.  Composition is
+        # done symbolically on the AffineComp/SparseComp algebra, so
+        # composed slots keep every fast path (roll plans, BSR row
+        # tables) of direct slots.
+        self.comp_slots: List[Tuple[SlotSpec, int, int]] = []
+        self.ca_jac_ok = (
+            not any(s.dep_cons for s in self.mslots)
+            and all(not s.dep_cons for s in self.uslots)
+            and all(
+                not sub.mslots and all(not s.dep_cons for s in sub.uslots)
+                for (_, sub, _) in self.computed_groups.values()
+            )
+        )
+        if self.mslots and self.ca_jac_ok:
+            for mi, mslot in enumerate(self.mslots):
+                im, sub, _ = self.computed_groups[mslot.image.name]
+                mapping = dict(zip(im.domains, mslot.comps))
+                for k, s in enumerate(sub.uslots):
+                    comps = tuple(substitute_index(c, mapping) for c in s.comps)
+                    self.comp_slots.append((SlotSpec(s.image, comps, True), mi, k))
         self._F = self._make_local_fn()
 
     # -- slot index machinery ----------------------------------------------
@@ -525,7 +553,12 @@ class LoweredGroup:
         image-shaped array (the analog of the reference's atomic add /
         warp-aggregated scatter).  Uses the degree-padded inverse gather
         table when available (scatter-free)."""
-        slot = self.uslots[i]
+        stable = None
+        if consts is not None:
+            stable = consts.get("stables", {}).get(i)
+        return self._scatter(self.uslots[i], vals, inputs, stable)
+
+    def _scatter(self, slot: SlotSpec, vals: jnp.ndarray, inputs, stable=None) -> jnp.ndarray:
         im = slot.image
         C = im.channels
         imshape = tuple(d.size for d in im.dims) + (C,)
@@ -544,9 +577,6 @@ class LoweredGroup:
                     v = jnp.roll(v, off, axis=j)
             return v
         data = vals.reshape(-1, C)
-        stable = None
-        if consts is not None:
-            stable = consts.get("stables", {}).get(i)
         if stable is not None:
             from .ops.segsum import pallas_segment_sum
 
@@ -830,6 +860,58 @@ class LoweredGroup:
     def gather_mslots(self, cavals, inputs):
         return [self._gather(slot, cavals[slot.image.name], inputs) for slot in self.mslots]
 
+    def _ca_vals_and_grads(self, X, inputs):
+        """CA value arrays AND gradient arrays from one sub-group
+        linearization each (the reference materializes both as images:
+        the CA and its auto-generated gradient image, thallo.t:1777-1822).
+        Gradient arrays are [*ca_dims, Cca*C_k] per sub unknown slot, in
+        the CA's declared domain order."""
+        cav, grads = {}, {}
+        for name, (im, sub, perm) in self.computed_groups.items():
+            r_sub, jac_sub = sub.point_jacobians(X, inputs)
+            nd = len(perm)
+            arr = r_sub.reshape(sub.ext_shape + (im.channels,))
+            cav[name] = jnp.transpose(arr, tuple(perm) + (nd,))
+            gs = []
+            for jk in jac_sub:
+                Ck = jk.shape[-1]
+                a = jk.reshape(sub.ext_shape + (im.channels, Ck))
+                a = jnp.transpose(a, tuple(perm) + (nd, nd + 1))
+                gs.append(a.reshape(cav[name].shape[:-1] + (im.channels * Ck,)))
+            grads[name] = gs
+        return cav, grads
+
+    # -- jac slots: the accesses the per-point Jacobian decomposes over ------
+    @property
+    def jac_slots(self) -> List[SlotSpec]:
+        """Direct unknown slots plus, for groups with materialized
+        computed arrays, one COMPOSED slot per (CA access, CA unknown
+        slot) pair.  Aligned with point_jacobians' jacs list; all
+        scatter/gather/index machinery accepts these like direct slots."""
+        if self.mslots and self.ca_jac_ok:
+            return list(self.uslots) + [cs for cs, _, _ in self.comp_slots]
+        return list(self.uslots)
+
+    def gather_jac_slot(self, j: int, arrs, inputs, consts=None):
+        slot = self.jac_slots[j]
+        stable = None
+        if consts is not None and j < len(self.uslots):
+            stable = consts.get("stables", {}).get(j)
+        return self._gather(slot, arrs[slot.image.name], inputs, stable)
+
+    def scatter_jac_slot(self, j: int, vals, inputs, consts=None):
+        slot = self.jac_slots[j]
+        stable = None
+        if consts is not None and j < len(self.uslots):
+            stable = consts.get("stables", {}).get(j)
+        return self._scatter(slot, vals, inputs, stable)
+
+    def jac_slot_flat_indices(self, j: int, inputs, use_np=False):
+        slot = self.jac_slots[j]
+        flat = self._slot_flat_indices(slot, inputs, use_np=use_np)
+        dep_shape = tuple(d.dim.size for d in slot.dep_cons)
+        return flat.reshape((self.R,) + dep_shape)
+
     # -- solver-facing entry points ------------------------------------------
     def slot_flat_indices(self, i: int, inputs):
         """Flat element indices into slot i's image for every grid point:
@@ -877,25 +959,68 @@ class LoweredGroup:
         forward mode: one jvp of the whole-field residual function per slot
         channel (XLA shares the forward trace across tangents — measured
         much faster than vmap(jacrev) on TPU).  Falls back to
-        vmap(jacrev) for fiber slots."""
-        if not self.mslots and all(not s.dep_cons for s in self.uslots):
+        vmap(jacrev) for fiber slots.
+
+        Groups with materialized computed arrays return jacs aligned with
+        jac_slots: direct-slot jacobians followed by composed-slot chain
+        products dr/dCA . dCA/du_k (CA gradient arrays, the analog of the
+        reference's gradient images, thallo.t:1777-1822)."""
+        if self.mslots:
+            if self.ca_jac_ok:
+                return self._point_jacobians_fwd(X, inputs, consts)
+            raise RuntimeError(
+                "point_jacobians on a group whose materialized computed "
+                "arrays have contraction fibers; use the force-inlined "
+                "twin group"
+            )
+        if all(not s.dep_cons for s in self.uslots):
             return self._point_jacobians_fwd(X, inputs, consts)
         return self._point_jacobians_rev(X, inputs, consts)
 
     def _point_jacobians_fwd(self, X, inputs, consts=None):
         consts = consts if consts is not None else self.prepared_consts(inputs)
         uvals = self.gather_all(X, inputs)
-        f = lambda uv: self.residuals_from_slots(uv, consts)  # noqa: E731
-        r, lin = jax.linearize(f, uvals)
+        if self.mslots:
+            cav, grads = self._ca_vals_and_grads(X, inputs)
+            mvals = self.gather_mslots(cav, inputs)
+        else:
+            mvals = []
+        f = lambda uv, mv: self._vmapped(self._F, uv, consts, mv)  # noqa: E731
+        r, lin = jax.linearize(f, uvals, mvals)
+
+        def basis(vals, i, c):
+            t = [jnp.zeros_like(v) for v in vals]
+            t[i] = t[i].at[..., c].set(1.0)
+            return t
+
+        zeros = lambda vals: [jnp.zeros_like(v) for v in vals]  # noqa: E731
         jacs = []
         for i, slot in enumerate(self.uslots):
-            C = slot.image.channels
-            cols = []
-            for c in range(C):
-                tangents = [jnp.zeros_like(v) for v in uvals]
-                tangents[i] = tangents[i].at[..., c].set(1.0)
-                cols.append(lin(tangents))  # [R, rc]
+            cols = [
+                lin(basis(uvals, i, c), zeros(mvals))
+                for c in range(slot.image.channels)
+            ]
             jacs.append(jnp.stack(cols, axis=-1))  # [R, rc, C]
+        if self.mslots:
+            dr_dm = []
+            for m, slot in enumerate(self.mslots):
+                cols = [
+                    lin(zeros(uvals), basis(mvals, m, c))
+                    for c in range(slot.image.channels)
+                ]
+                dr_dm.append(jnp.stack(cols, axis=-1))  # [R, rc, Cca]
+            for cs, mi, k in self.comp_slots:
+                mslot = self.mslots[mi]
+                Cca = mslot.image.channels
+                g_img = grads[mslot.image.name][k]  # [*ca_dims, Cca*Ck]
+                g_at = self._gather(mslot, g_img, inputs)  # [R, Cca*Ck]
+                Ck = g_img.shape[-1] // Cca
+                g_at = g_at.reshape(-1, Cca, Ck)
+                # chain product as broadcast-multiply-sum (not einsum):
+                # XLA pads batched tiny dots onto the MXU (PERF.md)
+                jacs.append(
+                    jnp.sum(dr_dm[mi][:, :, :, None] * g_at[:, None, :, :], axis=2)
+                )
         return r, jacs
 
     def _point_jacobians_rev(self, X, inputs, consts=None):

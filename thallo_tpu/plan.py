@@ -273,7 +273,10 @@ class Plan:
 
                 schedule = default_schedule(lg)
             twin = None
-            if lg.has_materialized:
+            if lg.has_materialized and not lg.ca_jac_ok:
+                # CA gradient arrays (lower.py jac_slots) cover the
+                # common case; the force-inlined twin remains only for
+                # CA accesses inside contraction fibers
                 from .lower import inline_computed
 
                 twin = LoweredGroup(
@@ -486,10 +489,12 @@ class Plan:
         cin, sp, prep = self._step_inputs(), self._sp(), self._prep
         k = int(getattr(self, "steps_per_dispatch", 1))
         with self.timer.event("Nonlinear Iteration"):
-            if k > 1 and not self.compiled.uses_lambda:
-                # fold k GN steps into one executable (lax.scan) so the
-                # per-dispatch host overhead amortizes over k nonlinear
-                # iterations (ROADMAP #3); remainder runs single steps
+            if k > 1:
+                # fold k nonlinear steps into one executable (lax.scan) so
+                # the per-dispatch host overhead amortizes over k
+                # iterations (ROADMAP #3); LM bodies no-op via lax.cond
+                # once the device-side stop flag is set; remainder runs
+                # single steps
                 sfn = self._scan_step(k)
                 stop = jnp.asarray(False)
                 for _ in range(n // k):
@@ -510,7 +515,11 @@ class Plan:
         return n
 
     def _scan_step(self, k: int):
-        """k nonlinear GN iterations scanned inside ONE jit."""
+        """k nonlinear iterations scanned inside ONE jit.  For LM the
+        body is wrapped in lax.cond on the device-side finished flag so
+        scanning past a trust-region stop leaves the state untouched
+        (the reference's step() returns 0 and the host stops calling,
+        gauss_newton.t:1763-1785 — here the guard stays on device)."""
         cache = getattr(self, "_scan_step_fns", {})
         if k not in cache:
             comp = self.compiled
@@ -518,10 +527,22 @@ class Plan:
             def multi(U, lm, inputs, sp, prep):
                 def body(carry, _):
                     Uc, lmc = carry
-                    U2, lm2, stop, cost = comp.nonlinear_step(Uc, lmc, inputs, sp, prep)
+                    if comp.uses_lambda:
+                        def run(_):
+                            U2, lm2, _, cost = comp.nonlinear_step(
+                                Uc, lmc, inputs, sp, prep)
+                            return U2, lm2, cost
+                        def frozen(_):
+                            return Uc, lmc, lmc.prev_cost
+                        U2, lm2, cost = jax.lax.cond(
+                            lmc.finished, frozen, run, None)
+                    else:
+                        U2, lm2, _, cost = comp.nonlinear_step(
+                            Uc, lmc, inputs, sp, prep)
                     return (U2, lm2), cost
                 (U, lm), costs = jax.lax.scan(body, (U, lm), None, length=k)
-                return U, lm, jnp.asarray(False), costs[-1]
+                stop = lm.finished if comp.uses_lambda else jnp.asarray(False)
+                return U, lm, stop, costs[-1]
 
             donate = () if jax.default_backend() == "cpu" else (0, 1)
             cache[k] = jax.jit(multi, donate_argnums=donate)

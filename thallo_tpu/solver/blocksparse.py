@@ -76,13 +76,16 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
     per init).  Returns None when the group shape doesn't fit the scheme
     (contractions, fiber slots, pure-stencil groups, pathological degree
     skew) — callers fall back to the J-block path."""
-    if not group.uslots or group.con_domains:
+    jslots = group.jac_slots  # direct + CA-composed accesses (lower.py)
+    if not jslots or group.con_domains:
         return None
-    if any(s.dep_cons for s in group.uslots):
+    if group.mslots and not group.ca_jac_ok:
+        return None
+    if any(s.dep_cons for s in jslots):
         return None
     # pure-stencil groups: roll/inverse-roll scatters are already exact
     # and cheap; materialized blocks would only add traffic
-    if all(group._roll_plan(s) is not None for s in group.uslots):
+    if all(group._roll_plan(s) is not None for s in jslots):
         return None
     R = group.R
     if R == 0:
@@ -93,7 +96,7 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
     ):
         return None
     idxs: List[np.ndarray] = []
-    for s in group.uslots:
+    for s in jslots:
         # pure-numpy index evaluation: no eager device ops at init
         flat = group._slot_flat_indices(s, inputs, use_np=True)
         idxs.append(np.asarray(flat).reshape(-1))
@@ -103,7 +106,7 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
     row_tables: List[dict] = []
     key_to_row: Dict[bytes, int] = {}
     padded_total = 0
-    for i, s in enumerate(group.uslots):
+    for i, s in enumerate(jslots):
         N = int(np.prod([d.size for d in s.image.dims]))
         key = idxs[i].tobytes()
         if key in key_to_row:
@@ -140,11 +143,11 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
     col_key: Dict[tuple, int] = {}
     gathers: List[tuple] = []
     gather_key: Dict[tuple, int] = {}
-    for i, si in enumerate(group.uslots):
+    for i, si in enumerate(jslots):
         t = row_key_of_slot[i]
         rt = row_tables[t]
         N_i = rt["N"]
-        for j, sj in enumerate(group.uslots):
+        for j, sj in enumerate(jslots):
             N_j = int(np.prod([d.size for d in sj.image.dims]))
             if N_i == N_j and np.array_equal(idxs[i], idxs[j]):
                 pairs.append((i, j, "diag"))
@@ -164,7 +167,7 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
             pairs.append((i, j, "col", gather_key[gk]))
 
     shapes = {}
-    for s in group.uslots:
+    for s in jslots:
         shapes[s.image.name] = tuple(d.size for d in s.image.dims) + (s.image.channels,)
 
     return GroupBsr(
@@ -174,8 +177,8 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
         slot_row=tuple(row_key_of_slot),
         pairs=tuple(pairs),
         col_gathers=tuple(gathers),
-        slot_images=tuple(s.image.name for s in group.uslots),
-        slot_channels=tuple(s.image.channels for s in group.uslots),
+        slot_images=tuple(s.image.name for s in jslots),
+        slot_channels=tuple(s.image.channels for s in jslots),
         image_shapes=shapes,
     )
 

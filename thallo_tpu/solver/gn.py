@@ -354,7 +354,7 @@ class CompiledSolver:
         diag = {k: jnp.zeros_like(v) for k, v in mjtf.items()}
         for gi, (gp, c) in enumerate(zip(self.groups, consts)):
             g = gp.jac_group()
-            if not g.uslots:
+            if not g.jac_slots:
                 continue
             if gp.inline_group is not None:
                 c = (twin_consts[gi] if twin_consts and twin_consts[gi] is not None
@@ -377,21 +377,22 @@ class CompiledSolver:
                 continue
             if gp.schedule not in (JTJpSchedule.INLINE, JTJpSchedule.LINEARIZE):
                 jac_store[str(gi)] = {"r": r, "jacs": tuple(jacs)}
-            for i in range(len(g.uslots)):
+            jslots = g.jac_slots
+            for i in range(len(jslots)):
                 J = jacs[i]  # [R, rc, *dep, C]
                 # J^T r and diag(J^T J) per point, scattered (reference
                 # createjtfResidualwise scatters, thallo.t:3895-3902)
                 jtr = jnp.einsum("pc...,pc->p...", J, r, precision=jax.lax.Precision.HIGHEST)
                 d2 = jnp.sum(J * J, axis=1)
-                name = g.uslots[i].image.name
-                mjtf[name] = mjtf[name] - g.scatter_slot(i, jtr, inputs, c)
-                diag[name] = diag[name] + g.scatter_slot(i, d2, inputs, c)
+                name = jslots[i].image.name
+                mjtf[name] = mjtf[name] - g.scatter_jac_slot(i, jtr, inputs, c)
+                diag[name] = diag[name] + g.scatter_jac_slot(i, d2, inputs, c)
         return mjtf, diag, jac_store
 
     def _mask_jacs(self, g, jacs, masks, inputs):
         out = []
-        for i in range(len(g.uslots)):
-            m = g.gather_slot(i, masks, inputs)  # [R, *dep, 1]
+        for i in range(len(g.jac_slots)):
+            m = g.gather_jac_slot(i, masks, inputs)  # [R, *dep, 1]
             out.append(jacs[i] * m[:, None])
         return out
 
@@ -409,7 +410,7 @@ class CompiledSolver:
         _, total_unknowns = self.unknown_layout()
         for gi, gp in enumerate(self.groups):
             g = gp.group
-            if not g.uslots:
+            if not (g.uslots or g.mslots):
                 continue
             entry = jac_store.get(str(gi))
             if entry is not None and "bsr" in entry:
@@ -476,8 +477,9 @@ class CompiledSolver:
                 jacs = jac_store[str(gi)]["jacs"]
                 # Jp[p, c] = sum_slots <J_slot, p_slot>
                 Jp = None
-                pvals = [g.gather_slot(i, pm, inputs, gc) for i in range(len(g.uslots))]
-                for i in range(len(g.uslots)):
+                nj = len(g.jac_slots)
+                pvals = [g.gather_jac_slot(i, pm, inputs, gc) for i in range(nj)]
+                for i in range(nj):
                     term = jnp.einsum("pc...,p...->pc", jacs[i], pvals[i], precision=jax.lax.Precision.HIGHEST)
                     Jp = term if Jp is None else Jp + term
                 if gp.schedule == JTJpSchedule.APPLY_SEPARATELY:
@@ -543,11 +545,12 @@ class CompiledSolver:
             nrows = g.R * g.rc
             Jg = jnp.zeros((nrows, total), self.dtype)
             row_ids = jnp.arange(g.R * g.rc, dtype=jnp.int32).reshape(g.R, g.rc)
-            for i in range(len(g.uslots)):
-                slot = g.uslots[i]
+            jslots = g.jac_slots
+            for i in range(len(jslots)):
+                slot = jslots[i]
                 im = slot.image
                 C = im.channels
-                flat = g.slot_flat_indices(i, inputs)  # [R, *dep]
+                flat = g.jac_slot_flat_indices(i, inputs)  # [R, *dep]
                 cols = offsets[im.name] + flat[..., None] * C + jnp.arange(C)  # [R,*dep,C]
                 J = jacs[i]  # [R, rc, *dep, C]
                 rr = jnp.broadcast_to(
@@ -574,11 +577,12 @@ class CompiledSolver:
             r, jacs = g.point_jacobians(U, inputs, c)
             jacs = self._mask_jacs(g, jacs, masks, inputs)
             row_ids = row_base + jnp.arange(g.R * g.rc, dtype=jnp.int32).reshape(g.R, g.rc)
-            for i in range(len(g.uslots)):
-                slot = g.uslots[i]
+            jslots = g.jac_slots
+            for i in range(len(jslots)):
+                slot = jslots[i]
                 im = slot.image
                 C = im.channels
-                flat = g.slot_flat_indices(i, inputs)
+                flat = g.jac_slot_flat_indices(i, inputs)
                 cols = offsets[im.name] + flat[..., None] * C + jnp.arange(C)
                 J = jacs[i]
                 rr = jnp.broadcast_to(
