@@ -101,38 +101,49 @@ def bench_bundle_adjustment(n_cameras, n_points, obs_per_point=4, n_steps=16,
     plan.run_steps(2 * scan_k)  # warm: compiles AND settles the relay
     jax.block_until_ready(plan._U)
     # best-of-reps windows: single windows see multi-ms relay jitter.
-    # A window is only valid if the device-side trust-region stop never
-    # fired inside it (scanned steps no-op once finished); re-init to
-    # keep the solver busy when the synthetic problem converges.
-    dt = float("inf")
+    # Scanned steps no-op (lax.cond frozen branch) once the device-side
+    # trust-region stop fires, so wall time is divided by the number of
+    # steps ACTUALLY executed — the lm.n_iter delta, which frozen steps
+    # don't increment — and windows with too few real steps are
+    # rejected; re-init keeps the solver busy once it converges.
+    per_step = float("inf")
     for _ in range(reps + 2):
         if plan._finished:
             plan.init(inputs)
             plan.run_steps(scan_k)
             jax.block_until_ready(plan._U)
+        it0 = int(plan._lm.n_iter)
         t0 = time.perf_counter()
         plan.run_steps(n_steps)
         jax.block_until_ready(plan._U)
         w = time.perf_counter() - t0
-        if not plan._finished:
-            dt = min(dt, w)
-    if not np.isfinite(dt):
-        dt = w  # every window hit the stop: report the last, conservatively
-    iters_per_s = n_steps * l_iters / dt
+        done = int(plan._lm.n_iter) - it0
+        if done >= max(n_steps // 2, 1):
+            per_step = min(per_step, w / done)
+    if not np.isfinite(per_step):
+        per_step = w / max(done, 1)  # conservative last resort
+    iters_per_s = l_iters / per_step
 
     # time-to-target: within 5% of the converged energy, cold restart
     converged = plan.cost()
     target = c0 - 0.95 * (c0 - converged)
-    plan.reset_unknowns()
-    plan._iter = 0
-    plan._finished = False
-    plan._lm = plan._lm._replace(
-        trust_region_radius=jax.numpy.asarray(
-            plan.solver_parameters["trust_region_radius"], plan.dtype),
-        prev_cost=jax.numpy.asarray(c0, plan.dtype),
-        n_iter=jax.numpy.asarray(0, jax.numpy.int32),
-        finished=jax.numpy.asarray(False),
-    )
+
+    def cold_restart():
+        plan.reset_unknowns()
+        plan._iter = 0
+        plan._finished = False
+        plan._lm = plan._lm._replace(
+            trust_region_radius=jax.numpy.asarray(
+                plan.solver_parameters["trust_region_radius"], plan.dtype),
+            prev_cost=jax.numpy.asarray(c0, plan.dtype),
+            n_iter=jax.numpy.asarray(0, jax.numpy.int32),
+            finished=jax.numpy.asarray(False),
+        )
+
+    cold_restart()
+    plan.step()  # warm the single-step executable: compile happens at
+    # plan time in the reference too, never inside the measured solve
+    cold_restart()
     t0 = time.perf_counter()
     tt = float("inf")
     for k in range(25):

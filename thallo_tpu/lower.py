@@ -22,6 +22,7 @@ derived-function generators thallo.t:3531-3948).  The TPU-first design:
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Tuple
 
 import jax
@@ -938,6 +939,78 @@ class LoweredGroup:
             uvals, mvals, consts["cvals"], consts["barrs"], consts["iarrs"]
         )
 
+    # -- channel-major fast path (graph groups) ------------------------------
+    # TPU tiles the LAST TWO dims of every buffer onto (8,128) lanes, so a
+    # row-major gathered slot [R, C] is physically [R, 8ceil, 128] — and,
+    # worse, gathering rows from a [N, C] image reads one full 4 KB tile
+    # per row (measured: a bare 250k-observation BA residual evaluation
+    # cost 5.4 ms, ~100x its logical traffic).  For pure graph groups
+    # (exactly the shapes build_group_bsr accepts: no contractions, no
+    # fiber slots, no roll plans) the whole per-point pipeline can run
+    # CHANNEL-MAJOR instead: minor-axis gathers produce [C, R], the SAME
+    # local fn is vmapped over axis 1, and both AD passes then read and
+    # write only [*, R] buffers whose padding is the small sublane axis.
+    def gather_slot_cm(self, slot: SlotSpec, img, inputs) -> jnp.ndarray:
+        """[C, R] minor-axis gather (no (8,128)-tile read amplification)."""
+        C = img.shape[-1]
+        flat = self._slot_flat_indices(slot, inputs)
+        srcT = img.reshape(-1, C).T  # [C, N] — tiny relayout of the image
+        return srcT.at[:, flat.reshape(-1)].get(mode="promise_in_bounds")
+
+    def gather_all_cm(self, X, inputs):
+        return [self.gather_slot_cm(s, X[s.image.name], inputs) for s in self.uslots]
+
+    def _vmapped_cm(self, fn, uvalsT, consts):
+        bdeps, ideps = consts["bdeps"], consts["ideps"]
+        params, simgs = consts["params"], consts["simgs"]
+
+        def point(u, c, b, iv):
+            return fn(u, [], c, b, iv, bdeps, ideps, params, simgs)
+
+        # unknown slots batch over their LAST axis; per-point const arrays
+        # stay row-major (they are read once, not differentiated through)
+        return jax.vmap(point, in_axes=(1, 0, 0, 0), out_axes=1)(
+            uvalsT, consts["cvals"], consts["barrs"], consts["iarrs"]
+        )
+
+    def residuals_cm(self, X, inputs, consts=None):
+        """r(U): [rc, R] channel-major."""
+        consts = consts if consts is not None else self.prepared_consts(inputs)
+        uvalsT = self.gather_all_cm(X, inputs)
+        return self._vmapped_cm(self._F, uvalsT, consts)
+
+    def point_jacobians_cm(self, X, inputs, consts=None):
+        """(r [rc, R], jacsT list of [rc, C_i, R]) — the channel-major
+        twin of point_jacobians for groups without materialized computed
+        arrays, contractions or fiber slots.  Same fwd/rev AD-mode choice."""
+        consts = consts if consts is not None else self.prepared_consts(inputs)
+        uvalsT = self.gather_all_cm(X, inputs)
+        f = lambda uv: self._vmapped_cm(self._F, uv, consts)  # noqa: E731
+        total_c = sum(s.image.channels for s in self.uslots)
+        mode = os.environ.get("THALLO_JAC_MODE", "auto")
+        use_rev = (2 * self.rc < total_c) if mode == "auto" else (mode == "rev")
+        if use_rev:
+            r, vjp_fn = jax.vjp(f, uvalsT)
+            rows = []
+            for c in range(self.rc):
+                ct = jnp.zeros_like(r).at[c].set(1.0)
+                rows.append(vjp_fn(ct)[0])  # list of [C_i, R]
+            jacsT = [
+                jnp.stack([rows[c][i] for c in range(self.rc)], axis=0)
+                for i in range(len(self.uslots))
+            ]
+        else:
+            r, lin = jax.linearize(f, uvalsT)
+            jacsT = []
+            for i, slot in enumerate(self.uslots):
+                cols = []
+                for c in range(slot.image.channels):
+                    t = [jnp.zeros_like(v) for v in uvalsT]
+                    t[i] = t[i].at[c].set(1.0)
+                    cols.append(lin(t))  # [rc, R]
+                jacsT.append(jnp.stack(cols, axis=1))  # [rc, C, R]
+        return r, jacsT
+
     def residuals(self, X, inputs, consts=None):
         """r(U): [R, rc]"""
         consts = consts if consts is not None else self.prepared_consts(inputs)
@@ -986,22 +1059,48 @@ class LoweredGroup:
         else:
             mvals = []
         f = lambda uv, mv: self._vmapped(self._F, uv, consts, mv)  # noqa: E731
-        r, lin = jax.linearize(f, uvals, mvals)
 
-        def basis(vals, i, c):
-            t = [jnp.zeros_like(v) for v in vals]
-            t[i] = t[i].at[..., c].set(1.0)
-            return t
-
-        zeros = lambda vals: [jnp.zeros_like(v) for v in vals]  # noqa: E731
-        jacs = []
-        for i, slot in enumerate(self.uslots):
-            cols = [
-                lin(basis(uvals, i, c), zeros(mvals))
-                for c in range(slot.image.channels)
+        # AD-mode choice (the reference gets this for free from symbolic
+        # AD; here it is pass count): forward costs one tangent pass per
+        # unknown/CA channel, reverse one (~2x-priced) cotangent pass per
+        # residual channel.  Bundle adjustment (rc=2, 12 unknown channels)
+        # is the canonical reverse winner — measured 8.0 -> 6.5 ms per
+        # LM step at 32k observations (PERF.md).
+        total_c = sum(s.image.channels for s in self.uslots) + sum(
+            s.image.channels for s in self.mslots
+        )
+        mode = os.environ.get("THALLO_JAC_MODE", "auto")
+        use_rev = (2 * self.rc < total_c) if mode == "auto" else (mode == "rev")
+        if use_rev:
+            r, vjp_fn = jax.vjp(f, uvals, mvals)
+            rows = []
+            for c in range(self.rc):
+                ct = jnp.zeros_like(r).at[..., c].set(1.0)
+                rows.append(vjp_fn(ct))  # (uvals_bar, mvals_bar)
+            jacs = [
+                jnp.stack([rows[c][0][i] for c in range(self.rc)], axis=1)
+                for i in range(len(self.uslots))
+            ]  # [R, rc, C]
+            dr_dm = [
+                jnp.stack([rows[c][1][m] for c in range(self.rc)], axis=1)
+                for m in range(len(self.mslots))
             ]
-            jacs.append(jnp.stack(cols, axis=-1))  # [R, rc, C]
-        if self.mslots:
+        else:
+            r, lin = jax.linearize(f, uvals, mvals)
+
+            def basis(vals, i, c):
+                t = [jnp.zeros_like(v) for v in vals]
+                t[i] = t[i].at[..., c].set(1.0)
+                return t
+
+            zeros = lambda vals: [jnp.zeros_like(v) for v in vals]  # noqa: E731
+            jacs = []
+            for i, slot in enumerate(self.uslots):
+                cols = [
+                    lin(basis(uvals, i, c), zeros(mvals))
+                    for c in range(slot.image.channels)
+                ]
+                jacs.append(jnp.stack(cols, axis=-1))  # [R, rc, C]
             dr_dm = []
             for m, slot in enumerate(self.mslots):
                 cols = [
@@ -1009,6 +1108,7 @@ class LoweredGroup:
                     for c in range(slot.image.channels)
                 ]
                 dr_dm.append(jnp.stack(cols, axis=-1))  # [R, rc, Cca]
+        if self.mslots:
             for cs, mi, k in self.comp_slots:
                 mslot = self.mslots[mi]
                 Cca = mslot.image.channels

@@ -183,7 +183,8 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
     )
 
 
-def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None):
+def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
+              channel_major=False):
     """Once per nonlinear iteration: assemble J^T r, diag(J^T J) and all
     unknown-pair blocks, row-sorted, with one wide payload gather per row
     table (scatter-free; replaces creatematerializejtjResidualwise +
@@ -193,23 +194,38 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None):
     jacs: list of [R, rc, C_i] (masked)
     Returns (jtr_images, d2_images, blocks) where jtr/d2 are dicts
     image -> [*imshape] accumulated over this group's slots and blocks is
-    {pair_index: [N, Ci, Cj] (diag) | [N, D, Ci, Cj] (cross)}.
+    {pair_index: [Ci*Cj, N] (diag) | [Ci*Cj*D, N] (cross)}.
+
+    The whole assembly runs CHANNEL-MAJOR ([*, R]/[*, N] buffers, R/N in
+    the 128-lane dim): the incoming row-major jac buffers ([R, rc, C] ->
+    physically [R, 8, 128]: ~25-57x tile padding) are transposed once at
+    entry where XLA fuses the relayout into the jacobian producers, and
+    every intermediate after that — J^T r, diag, edge blocks, the wide
+    payload, the row-table gather — pads only its small sublane axis
+    (measured at BA 250k obs: 14.4 -> 1.8 ms per assembly; the same
+    minor-dim tiling wall bsr_apply hit first, PERF.md).
     """
     nslots = len(bsr.slot_images)
+
+    if channel_major:  # produced natively by point_jacobians_cm
+        rT, jTs = r, list(jacs)  # [rc, R], [rc, C, R]
+    else:
+        rT = r.T  # [rc, R]
+        jTs = [jnp.transpose(j, (1, 2, 0)) for j in jacs]  # [rc, C, R]
 
     # per-slot setup products.  NOTE all block products here and in
     # bsr_apply are broadcast-multiply-sums, NOT einsum/dot_general: XLA
     # lowers batched 3x3-ish dots onto the MXU with 128-lane padding
     # (measured ~7x slower than the VPU elementwise form at 261k rows).
-    jtr = [jnp.sum(jacs[i] * r[..., None], axis=1) for i in range(nslots)]
-    d2 = [jnp.sum(jacs[i] * jacs[i], axis=1) for i in range(nslots)]
-    # per-pair edge blocks B_ij = J_i^T J_j  [R, Ci, Cj]
+    jtr = [jnp.sum(jTs[i] * rT[:, None, :], axis=0) for i in range(nslots)]  # [C, R]
+    d2 = [jnp.sum(jTs[i] * jTs[i], axis=0) for i in range(nslots)]  # [C, R]
+    # per-pair edge blocks B_ij = J_i^T J_j  [Ci*Cj, R]
     eblocks = {}
     for p_idx, pr in enumerate(bsr.pairs):
         i, j = pr[0], pr[1]
-        eblocks[p_idx] = jnp.sum(
-            jacs[i][:, :, :, None] * jacs[j][:, :, None, :], axis=1
-        )
+        Ci, Cj = bsr.slot_channels[i], bsr.slot_channels[j]
+        eb = jnp.sum(jTs[i][:, :, None, :] * jTs[j][:, None, :, :], axis=0)
+        eblocks[p_idx] = eb.reshape(Ci * Cj, -1)
 
     # one payload gather per row table
     payload_specs = {t: [] for t in range(len(bsr.perms))}  # t -> [(kind, key, width)]
@@ -226,7 +242,7 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None):
         t = bsr.slot_row[i]
         Ci, Cj = bsr.slot_channels[i], bsr.slot_channels[j]
         payload_specs[t].append(("pair", p_idx, Ci * Cj))
-        payload_parts[t].append(eblocks[p_idx].reshape(-1, Ci * Cj))
+        payload_parts[t].append(eblocks[p_idx])
 
     jtr_out: Dict[str, jnp.ndarray] = {}
     d2_out: Dict[str, jnp.ndarray] = {}
@@ -234,40 +250,34 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None):
     for t in range(len(bsr.perms)):
         if not payload_parts[t]:
             continue
-        payload = jnp.concatenate(payload_parts[t], axis=1)  # [R, F]
+        # ONE relayout to row-major for the row-table gather: the payload
+        # is wide (F ~ 40-170), so a row gather moves a near-full tile of
+        # useful bytes per index — unlike the thin per-slot gathers the
+        # payload exists to batch (PERF.md).  [R, F] pads F only to the
+        # next 128 (<2%); the channel-major products above never touch a
+        # padded [R, rc, C] buffer.
+        payload = jnp.concatenate(payload_parts[t], axis=0).T  # [R, F]
         perm, mask = bsr.perms[t], bsr.masks[t]
         N, D = perm.shape
+        F = payload.shape[1]
         g = jnp.take(payload, perm.reshape(-1), axis=0).reshape(
-            N, D, payload.shape[1]
+            N, D, F
         ) * mask[..., None]  # [N, D, F]
         gsum = jnp.sum(g, axis=1)  # [N, F] for the pre-aggregated parts
         off = 0
         for kind, key, width in payload_specs[t]:
-            if kind == "jtr":
+            if kind in ("jtr", "d2"):
                 i = key
                 name = bsr.slot_images[i]
                 v = gsum[:, off:off + width].reshape(bsr.image_shapes[name])
-                jtr_out[name] = jtr_out.get(name, 0) + v
-            elif kind == "d2":
-                i = key
-                name = bsr.slot_images[i]
-                v = gsum[:, off:off + width].reshape(bsr.image_shapes[name])
-                d2_out[name] = d2_out.get(name, 0) + v
+                out = jtr_out if kind == "jtr" else d2_out
+                out[name] = out.get(name, 0) + v
             else:  # pair
                 p_idx = key
                 pr = bsr.pairs[p_idx]
-                i, j = pr[0], pr[1]
-                Ci, Cj = bsr.slot_channels[i], bsr.slot_channels[j]
-                # CHANNEL-MAJOR, N-LAST storage: a [*,3,3] buffer would
-                # be (8,128)-tiled on its trailing dims — a ~113x
-                # physical blowup that made each PCG iteration read
-                # gigabytes (measured; the whole reason this layout
-                # exists).  [Ci*Cj(*D), N] keeps N in the lane dim and
-                # pads only the sublane dim (9->16 / 36->40, <2x).
                 if pr[2] == "diag":
                     blk = gsum[:, off:off + width].T  # [Ci*Cj, N]
                 else:
-                    N, D = perm.shape
                     blk = jnp.transpose(
                         g[:, :, off:off + width], (2, 1, 0)
                     ).reshape(width * D, N)  # [(ci*Cj+cj)*D+d, n]

@@ -359,22 +359,34 @@ class CompiledSolver:
             if gp.inline_group is not None:
                 c = (twin_consts[gi] if twin_consts and twin_consts[gi] is not None
                      else g.prepared_consts(inputs, want_bsr=self._wants_bsr(gp)))
-            r, jacs = g.point_jacobians(U, inputs, c)
-            jacs = self._mask_jacs(g, jacs, masks, inputs)
             bsr = c.get("bsr") if isinstance(c, dict) else None
             if bsr is not None and self._wants_bsr(gp):
                 # scatter-free setup: J^T r, diag and all J^T J blocks
-                # assembled through the padded row tables in one pass
+                # assembled through the padded row tables in one pass.
+                # Pure graph groups run the whole pipeline channel-major
+                # (lower.py gather_slot_cm: minor-axis gathers + [*, R]
+                # AD buffers — measured 14 -> ~2 ms at BA 250k obs)
                 from .blocksparse import bsr_setup
 
+                if not g.mslots:
+                    r, jacs = g.point_jacobians_cm(U, inputs, c)
+                    jacs = self._mask_jacs_cm(g, jacs, masks, inputs)
+                    cm = True
+                else:
+                    r, jacs = g.point_jacobians(U, inputs, c)
+                    jacs = self._mask_jacs(g, jacs, masks, inputs)
+                    cm = False
                 jtr_d, d2_d, blocks = bsr_setup(bsr, r, jacs, self.dtype,
-                                                block_dtype=self.block_dtype)
+                                                block_dtype=self.block_dtype,
+                                                channel_major=cm)
                 jac_store[str(gi)] = {"bsr": blocks}
                 for name, v in jtr_d.items():
                     mjtf[name] = mjtf[name] - v
                 for name, v in d2_d.items():
                     diag[name] = diag[name] + v
                 continue
+            r, jacs = g.point_jacobians(U, inputs, c)
+            jacs = self._mask_jacs(g, jacs, masks, inputs)
             if gp.schedule not in (JTJpSchedule.INLINE, JTJpSchedule.LINEARIZE):
                 jac_store[str(gi)] = {"r": r, "jacs": tuple(jacs)}
             jslots = g.jac_slots
@@ -392,8 +404,21 @@ class CompiledSolver:
     def _mask_jacs(self, g, jacs, masks, inputs):
         out = []
         for i in range(len(g.jac_slots)):
+            if g.jac_slots[i].image.name not in self._exclude_fns:
+                out.append(jacs[i])  # mask is literal ones: skip the gather
+                continue
             m = g.gather_jac_slot(i, masks, inputs)  # [R, *dep, 1]
             out.append(jacs[i] * m[:, None])
+        return out
+
+    def _mask_jacs_cm(self, g, jacsT, masks, inputs):
+        out = []
+        for i, slot in enumerate(g.uslots):
+            if slot.image.name not in self._exclude_fns:
+                out.append(jacsT[i])
+                continue
+            m = g.gather_slot_cm(slot, masks[slot.image.name], inputs)  # [1, R]
+            out.append(jacsT[i] * m[0][None, None, :])
         return out
 
     # -- J^T J p -------------------------------------------------------------
