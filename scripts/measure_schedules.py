@@ -27,15 +27,17 @@ def main():
     if which == "image_warping":
         from thallo_tpu.models import image_warping as m
 
-        sizes = {"W": 64, "H": 64}
-        mk = lambda: m.synthetic_inputs(64, 64)  # noqa: E731
+        sizes = {"W": 256, "H": 256}
+        mk = lambda: m.synthetic_inputs(256, 256)  # noqa: E731
         factory = m.make_spec
     elif which == "arap":
         from thallo_tpu.models import arap_mesh_deformation as m
 
-        inputs = m.synthetic_inputs(side=16)
-        sizes = {"N": 256, "E": len(inputs["V0"])}
-        mk = lambda: m.synthetic_inputs(side=16)  # noqa: E731
+        side = 64  # 4k verts / 16k edges: large enough that schedule
+        # choice, not dispatch, dominates the measured step
+        inputs = m.synthetic_inputs(side=side)
+        sizes = {"N": side * side, "E": len(inputs["V0"])}
+        mk = lambda: m.synthetic_inputs(side=side)  # noqa: E731
         factory = m.make_spec
     else:
         raise SystemExit(f"unknown model {which}")

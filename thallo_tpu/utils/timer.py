@@ -64,6 +64,11 @@ class PerfSummary:
     def get(self, k, default=None):
         return self.stats.get(k, default)
 
+    def to_dict(self) -> Dict[str, dict]:
+        """JSON-ready form (the C++ harness's perf.json,
+        CombinedSolverBase.h:64-101)."""
+        return dict(self.stats)
+
     def markdown(self) -> str:
         """Per-phase markdown table (reference util.t:546-559)."""
         lines = ["| Event | count | mean (ms) | min | max | stddev | total |",
