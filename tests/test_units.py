@@ -148,3 +148,64 @@ r = Residuals(
     c0 = plan.init({"M": M, "X": np.ones(1, np.float32)})
     # the 'check' residuals contribute ~0 to the cost: cost ~= 0.5*X^2
     assert np.isclose(c0, 0.5, atol=1e-3)
+
+
+def test_point_jacobians_cm_matches_row_major():
+    """The channel-major graph pipeline (gather_slot_cm /
+    point_jacobians_cm, used by the block-sparse setup) must produce
+    exactly the row-major jacobians, in both AD modes."""
+    import os
+
+    src = """
+N, E = Dims("N", "E")
+Inputs(
+    P=Unknown(float3, (N,), 0),
+    A=Array(float3, (N,), 1),
+    v0=Sparse((E,), (N,), 2),
+    v1=Sparse((E,), (N,), 3),
+)
+e = E()
+d = P(v0(e)) - P(v1(e))
+t = A(v0(e)) - A(v1(e))
+r = Residuals(edge=[dot(d, d) - dot(t, t), d(0) * d(1)])
+"""
+    rng = np.random.RandomState(7)
+    Nn, Ee = 20, 55
+    v0 = rng.randint(0, Nn, size=Ee).astype(np.int32)
+    v1 = ((v0 + 1 + rng.randint(0, Nn - 1, size=Ee)) % Nn).astype(np.int32)
+    ins = {"P": rng.rand(Nn, 3).astype(np.float32),
+           "A": rng.rand(Nn, 3).astype(np.float32), "v0": v0, "v1": v1}
+    for mode in ("fwd", "rev"):
+        os.environ["THALLO_JAC_MODE"] = mode
+        try:
+            spec = tl.load_energy(src)
+            plan = spec.plan({"N": Nn, "E": Ee})
+            plan.init(ins)
+            g = plan.compiled.groups[0].group
+            U = plan._U
+            ains = plan._all_inputs()
+            c = plan.compiled.group_consts(ains)[0]
+            r_rm, jacs_rm = g.point_jacobians(U, ains, c)
+            r_cm, jacs_cm = g.point_jacobians_cm(U, ains, c)
+            np.testing.assert_allclose(np.asarray(r_cm), np.asarray(r_rm).T,
+                                       rtol=1e-6, atol=1e-7)
+            assert len(jacs_cm) == len(jacs_rm) == len(g.uslots)
+            for jc, jr in zip(jacs_cm, jacs_rm):
+                # [rc, C, R] vs [R, rc, C]
+                np.testing.assert_allclose(
+                    np.asarray(jc), np.transpose(np.asarray(jr), (1, 2, 0)),
+                    rtol=1e-6, atol=1e-7)
+        finally:
+            os.environ.pop("THALLO_JAC_MODE", None)
+
+
+def test_cli_runs_a_model(capsys):
+    from thallo_tpu import cli
+
+    assert cli.main(["--list"]) == 0
+    out = capsys.readouterr().out
+    assert "image_warping" in out and "bundle_fusion" in out
+    assert cli.main(["procrustes_alignment", "--iters", "4", "--liters", "8",
+                     "--verbosity", "0"]) == 0
+    out = capsys.readouterr().out
+    assert "procrustes_alignment" in out and "| Event |" in out
