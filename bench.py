@@ -202,6 +202,9 @@ def main():
     for name, kw in (
         ("bundle_adjustment_32k", dict(n_cameras=64, n_points=8192)),
         ("bundle_adjustment_250k", dict(n_cameras=256, n_points=62500)),
+        # BAL-scale: real problems run 100k-5M observations
+        ("bundle_adjustment_1m", dict(n_cameras=1024, n_points=250000,
+                                      n_steps=8, scan_k=4, reps=1)),
     ):
         try:
             ba_v, ba_tt, n_obs, _ = bench_bundle_adjustment(**kw)

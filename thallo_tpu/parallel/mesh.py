@@ -132,16 +132,35 @@ def compiled_step_hlo(plan) -> str:
 
 
 def collective_stats(hlo_text: str):
-    """Count SPMD collectives in optimized HLO."""
+    """Count SPMD collectives in optimized HLO, with per-kind byte totals
+    where an output shape is attached (counts alone mislead: 300 tiny
+    partial halo gathers matter less than one full-array gather)."""
     import re
 
-    return {
+    out = {
         "collective_permute": len(re.findall(r"collective-permute", hlo_text)),
         "all_reduce": len(re.findall(r"all-reduce", hlo_text)),
         "all_gather": len(re.findall(r"all-gather", hlo_text)),
         "reduce_scatter": len(re.findall(r"reduce-scatter", hlo_text)),
         "all_to_all": len(re.findall(r"all-to-all", hlo_text)),
     }
+    itemsize = {"f32": 4, "s32": 4, "u32": 4, "f64": 8, "bf16": 2,
+                "f16": 2, "s8": 1, "u8": 1, "pred": 1}
+    for kind, op in (("all_gather", "all-gather"),
+                     ("all_reduce", "all-reduce"),
+                     ("collective_permute", "collective-permute"),
+                     ("reduce_scatter", "reduce-scatter")):
+        total = 0
+        for m in re.finditer(
+            r"= ([a-z0-9]+)\[([0-9,]*)\][^=]*? " + op + r"[.(]", hlo_text
+        ):
+            n = 1
+            for s in m.group(2).split(","):
+                if s:
+                    n *= int(s)
+            total += n * itemsize.get(m.group(1), 4)
+        out[kind + "_bytes"] = total
+    return out
 
 
 def distribution_report(plan):
