@@ -36,22 +36,33 @@ def run_solvers(
         inputs = inputs_factory()
         c0 = plan.init(inputs)
         iter_costs = [c0]
+        iter_times = [0.0]
         t0 = time.perf_counter()
         while plan.step():
             iter_costs.append(plan.cost())
+            iter_times.append(time.perf_counter() - t0)
         solve_time = time.perf_counter() - t0
         final = plan.cost()
         iter_costs.append(final)
+        iter_times.append(solve_time)
         results[solver] = {
             "final_cost": final,
             "initial_cost": c0,
             "iter_costs": iter_costs,
+            "iter_times": iter_times,
             "solve_time_s": solve_time,
             "perf": plan.get_performance_summary().stats,
             "plan": plan,
         }
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
+        # per-iteration convergence CSVs (reference SolverIteration.h +
+        # CombinedSolverBase.h:142-155 results/*.csv comparisons)
+        for solver, v in results.items():
+            with open(os.path.join(out_dir, f"{solver}_convergence.csv"), "w") as f:
+                f.write("iter,cost,time_s\n")
+                for i, (c, t) in enumerate(zip(v["iter_costs"], v["iter_times"])):
+                    f.write(f"{i},{c:.9g},{t:.6f}\n")
         with open(os.path.join(out_dir, "finalCosts.json"), "w") as f:
             json.dump({k: v["final_cost"] for k, v in results.items()}, f, indent=2)
         with open(os.path.join(out_dir, "perf.json"), "w") as f:
