@@ -102,7 +102,7 @@ class Plan:
                   "timing_level", "verbosity", "guarded_invert_type",
                   "jacobi_scaling", "linear_solver", "trace_dir",
                   "profile_compile", "debug_check_finite", "block_dtype",
-                  "steps_per_dispatch"}
+                  "steps_per_dispatch", "preconditioner"}
         bad = set(options) - _known
         if bad:
             raise ValueError(f"unknown plan option(s): {sorted(bad)}")

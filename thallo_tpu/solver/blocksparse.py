@@ -276,17 +276,20 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
                 p_idx = key
                 pr = bsr.pairs[p_idx]
                 if pr[2] == "diag":
-                    blk = gsum[:, off:off + width].T  # [Ci*Cj, N]
+                    # pre-aggregated [Ci*Cj, N]: N-sized, so bf16 saves
+                    # nothing — and the block-Jacobi preconditioner is
+                    # built from these, so keep them full precision
+                    blk = gsum[:, off:off + width].T
                 else:
                     blk = jnp.transpose(
                         g[:, :, off:off + width], (2, 1, 0)
                     ).reshape(width * D, N)  # [(ci*Cj+cj)*D+d, n]
-                if block_dtype is not None:
-                    # bf16 block STORAGE halves the dominant per-PCG-step
-                    # HBM read; products upcast back (ROADMAP #2 bf16
-                    # experiment — J^T r / diag / setup stay full
-                    # precision)
-                    blk = blk.astype(block_dtype)
+                    if block_dtype is not None:
+                        # bf16 block STORAGE halves the dominant
+                        # per-PCG-step HBM read; products upcast back
+                        # (ROADMAP bf16 experiment — J^T r / diag /
+                        # setup stay full precision)
+                        blk = blk.astype(block_dtype)
                 blocks[p_idx] = blk
             off += width
     return jtr_out, d2_out, blocks

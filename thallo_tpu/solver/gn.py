@@ -77,6 +77,34 @@ def tree_dot(a, b):
     return jax.tree_util.tree_reduce(jnp.add, parts)
 
 
+def _cm_small_inv(M, C):
+    """Inverse of NxCxC SPD blocks stored channel-major [C*C, N], C<=3,
+    via the adjugate formula — pure elementwise on [*, N] rows (a padded
+    batched LU on [N, 3, 3] costs ~100x its logical bytes, PERF.md)."""
+    m = [M[i] for i in range(C * C)]
+    if C == 1:
+        return (1.0 / m[0])[None, :]
+    if C == 2:
+        a, b, c, d = m
+        det = a * d - b * c
+        inv = 1.0 / det
+        return jnp.stack([d * inv, -b * inv, -c * inv, a * inv])
+    a, b, c, d, e, f, g, h, i = m
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    Cc = d * h - e * g
+    D = -(b * i - c * h)
+    E = a * i - c * g
+    F = -(a * h - b * g)
+    G = b * f - c * e
+    H = -(a * f - c * d)
+    I = a * e - b * d
+    det = a * A + b * B + c * Cc
+    inv = 1.0 / det
+    # adjugate transpose: inv[r, c] = cofactor[c, r] / det
+    return jnp.stack([A, D, G, B, E, H, Cc, F, I]) * inv
+
+
 def tree_where(c, a, b):
     return jax.tree_util.tree_map(lambda x, y: jnp.where(c, x, y), a, b)
 
@@ -184,6 +212,15 @@ class CompiledSolver:
         # halves the dominant per-PCG-step HBM read for graph energies
         bd = options.get("block_dtype")
         self.block_dtype = jnp.bfloat16 if bd in ("bf16", "bfloat16") else None
+        # "jacobi" (reference parity: scalar diag(J^T J)) or
+        # "block_jacobi": per-unknown-element CxC block inverses built
+        # from the block-sparse diag-pair blocks — BEYOND the reference
+        # (Ceres' SCHUR_JACOBI class idea).  Measured on BA 32k obs: same
+        # per-step cost, ~5x fewer outer iterations to converge (PERF.md).
+        # Default "auto" = block inverses whenever the block-sparse setup
+        # provides diag blocks, scalar otherwise (identical answers; the
+        # block form reduces to scalar when blocks are diagonal).
+        self.precond_kind = options.get("preconditioner", "auto")
         self._exclude_fns = {}
         for im in spec.unknowns:
             if im.exclude_expr is not None:
@@ -703,14 +740,93 @@ class CompiledSolver:
             pre = self.guarded_invert(rawdiag)
         if not self.use_preconditioner:
             pre = jax.tree_util.tree_map(jnp.ones_like, pre)
+        pre_block = {}
+        if self.precond_kind in ("auto", "block_jacobi") and self.use_preconditioner:
+            pre_block = self._block_preconditioner(
+                consts, jac_store, rawdiag, CtC, lm)
         return {
             "masks": masks,
             "jac_store": jac_store,
             "r0": r0,
             "pre": pre,
+            "pre_block": pre_block,
             "CtC": CtC,
             "ssq": ssq,
         }
+
+    # -- block-Jacobi preconditioner (beyond the reference) -----------------
+    def _block_preconditioner(self, consts, jac_store, rawdiag, CtC, lm):
+        """Per-unknown-element CxC block inverses of the block diagonal of
+        the damped J^T J.  The block part comes free from the block-sparse
+        setup's pre-aggregated diag-pair blocks ([C*C, N] channel-major,
+        bsr_setup); contributions from groups outside the BSR path stay on
+        the diagonal (rawdiag minus the blocks' own diagonal), so M always
+        matches scalar Jacobi when the blocks vanish.  Damping mirrors the
+        scalar path exactly: LM adds diag(CtC); GN applies the CERES
+        guarded transform d -> (1+sqrt(d))^2 to the diagonal entries."""
+        dtype = self.dtype
+        B = {}  # image name -> [C*C, N] channel-major block sums
+        for gi, gp in enumerate(self.groups):
+            entry = jac_store.get(str(gi))
+            if not entry or "bsr" not in entry:
+                continue
+            c = consts[gi]
+            bsr = c.get("bsr") if isinstance(c, dict) else None
+            if bsr is None:
+                continue
+            for p_idx, pr in enumerate(bsr.pairs):
+                if pr[2] != "diag":
+                    continue
+                i, j = pr[0], pr[1]
+                name = bsr.slot_images[i]
+                if bsr.slot_images[j] != name:
+                    continue  # cross-image aliasing: off the block diagonal
+                blk = entry["bsr"][p_idx].astype(dtype)  # [Ci*Cj, N]
+                B[name] = B.get(name, 0) + blk
+        out = {}
+        for name, blk in B.items():
+            C = int(round(blk.shape[0] ** 0.5))
+            N = blk.shape[1]
+            diag_ix = jnp.arange(C) * C + jnp.arange(C)
+            bdiag = blk[diag_ix]  # [C, N]
+            raw = rawdiag[name].reshape(N, C).T.astype(dtype)  # [C, N]
+            extra = jnp.maximum(raw - bdiag, 0.0)  # non-BSR groups' diag
+            if self.uses_lambda:
+                damp = CtC[name].reshape(N, C).T.astype(dtype)
+                new_diag = bdiag + extra + damp
+            else:
+                d = bdiag + extra
+                new_diag = jnp.square(1.0 + jnp.sqrt(jnp.maximum(d, 0.0)))
+            M = blk.at[diag_ix].set(new_diag)  # [C*C, N]
+            if C <= 3:
+                # closed-form adjugate inverse on the channel-major rows:
+                # pure [*, N] elementwise, no (8,128)-padded batched LU
+                out[name] = _cm_small_inv(M, C)
+            else:
+                Minv = jnp.linalg.inv(
+                    jnp.transpose(M.reshape(C, C, N), (2, 0, 1))
+                )  # [N, C, C] batched; once per nonlinear iteration
+                out[name] = jnp.transpose(Minv, (1, 2, 0)).reshape(C * C, N)
+        return out
+
+    def precond_apply(self, state, r):
+        """z = M^-1 r: elementwise for scalar Jacobi, a batched channel-
+        major block matvec for block-Jacobi unknowns."""
+        pre_block = state.get("pre_block") or {}
+        if not pre_block:
+            return tree_mul(state["pre"], r)
+        out = {}
+        for k, v in r.items():
+            pb = pre_block.get(k)
+            if pb is None:
+                out[k] = state["pre"][k] * v
+                continue
+            C = v.shape[-1]
+            rT = v.reshape(-1, C).T  # [C, N]
+            Bm = pb.reshape(C, C, -1)
+            zT = jnp.sum(Bm * rT[None, :, :], axis=1)  # [C, N]
+            out[k] = zT.T.reshape(v.shape)
+        return out
 
     def linear_solve(self, U, state, inputs, sp: SolverParams, prep=None):
         """Phase 2: the full PCG inner loop (or dense direct solve) ->
@@ -725,7 +841,7 @@ class CompiledSolver:
         r0, pre, CtC = state["r0"], state["pre"], state["CtC"]
 
         b = r0
-        p0 = tree_mul(pre, r0)
+        p0 = self.precond_apply(state, r0)
         alpha_num0 = tree_dot(r0, p0)
         delta0 = tree_zeros_like(r0)
         Q0 = jnp.asarray(0.0, dtype)  # 0.5*delta.(r+b) with delta=0
@@ -789,7 +905,7 @@ class CompiledSolver:
                 # LM trust-region mechanism); keep the second JTJp apply
                 # out of the compiled loop entirely
                 r = update_r(None)
-            z = tree_mul(pre, r)
+            z = self.precond_apply(state, r)
             beta_num = tree_dot(z, r)
             if self.uses_lambda:
                 Q1 = 0.5 * tree_dot(delta, tree_add(r, b))
