@@ -12,6 +12,10 @@ from thallo_tpu.utils.harness import run_solvers
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--bal", metavar="FILE",
+                    help="BAL problem file (.txt or .txt.gz, the standard "
+                         "Bundle-Adjustment-in-the-Large format); "
+                         "overrides --cameras/--points")
     ap.add_argument("--cameras", type=int, default=8)
     ap.add_argument("--points", type=int, default=512)
     ap.add_argument("--iters", type=int, default=20)
@@ -19,12 +23,23 @@ def main():
     ap.add_argument("--out", default="results/bundle_adjustment")
     args = ap.parse_args()
 
-    inputs, meta = ba.synthetic_inputs(n_cameras=args.cameras, n_points=args.points)
-    O = len(inputs["oToC"])
+    if args.bal:
+        from thallo_tpu.io import bal_to_inputs
+
+        inputs, sizes = bal_to_inputs(args.bal)
+        make_inputs = lambda: inputs  # noqa: E731
+        print(f"loaded {args.bal}: C={sizes['C']} P={sizes['P']} O={sizes['O']}")
+    else:
+        inputs, meta = ba.synthetic_inputs(
+            n_cameras=args.cameras, n_points=args.points)
+        O = len(inputs["oToC"])
+        sizes = {"C": args.cameras, "P": args.points, "O": O}
+        make_inputs = lambda: ba.synthetic_inputs(  # noqa: E731
+            n_cameras=args.cameras, n_points=args.points)[0]
     results = run_solvers(
         ba.make_spec,
-        lambda: ba.synthetic_inputs(n_cameras=args.cameras, n_points=args.points)[0],
-        {"C": args.cameras, "P": args.points, "O": O},
+        make_inputs,
+        sizes,
         solvers=["levenberg_marquardt"],
         nonlinear_iters=args.iters,
         linear_iters=args.liters,
