@@ -342,3 +342,29 @@ def test_dense_sparse_combined():
     assert final < 1e-5
     np.testing.assert_allclose(ab, [a_true, b_true], atol=1e-3)
     assert len(plan.compiled.groups) == 2  # dense (N,U) + sparse (E) domains
+
+
+def test_sparse_index_bounds_validated():
+    """Out-of-range sparse indices must fail loudly at init: device
+    gathers use promise_in_bounds and would silently clamp (the
+    reference's validateParameters guard, util.t:645-674)."""
+    src = """
+N, E = Dims("N", "E")
+Inputs(
+    X=Unknown(float, (N,), 0),
+    v0=Sparse((E,), (N,), 1),
+)
+e = E()
+r = Residuals(edge=X(v0(e)) - 1.0)
+"""
+    spec = tl.load_energy(src)
+    plan = spec.plan({"N": 8, "E": 4})
+    bad = np.array([0, 3, 8, 1], np.int32)  # 8 is out of range for N=8
+    with pytest.raises(ValueError, match="v0.*\\[0, 8\\)"):
+        plan.init({"X": np.ones(8, np.float32), "v0": bad})
+    with pytest.raises(ValueError, match="v0"):
+        plan.init({"X": np.ones(8, np.float32),
+                   "v0": np.array([0, -1, 2, 3], np.int32)})
+    # valid indices still bind
+    plan.init({"X": np.ones(8, np.float32),
+               "v0": np.array([0, 1, 2, 3], np.int32)})

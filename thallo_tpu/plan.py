@@ -345,7 +345,17 @@ class Plan:
         for sm in self.spec.sparse_maps:
             if sm.name not in inputs:
                 raise ValueError(f"missing sparse map {sm.name}")
-            arr = jnp.asarray(inputs[sm.name], dtype=jnp.int32)
+            raw = np.asarray(inputs[sm.name])
+            # bounds-check on the host at bind time: device gathers use
+            # promise_in_bounds and would silently clamp a bad index (the
+            # reference's validateParameters probes every user pointer,
+            # util.t:645-674 — this is the TPU analog of that guard)
+            n_out = int(np.prod([d.size for d in sm.out_dims]))
+            if raw.size and (raw.min() < 0 or raw.max() >= n_out):
+                raise ValueError(
+                    f"sparse map {sm.name}: indices must be in [0, {n_out}); "
+                    f"got range [{raw.min()}, {raw.max()}]")
+            arr = jnp.asarray(raw, dtype=jnp.int32)
             out[sm.name] = arr
         for p in self.spec.params:
             if p.name not in inputs:
