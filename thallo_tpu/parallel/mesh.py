@@ -61,6 +61,16 @@ def shard_plan_inputs(plan, mesh: Mesh, dim_axes: Dict[str, int] = None):
     # re-index to axis names
     name_axes = {k: mesh.axis_names[v] for k, v in dim_axes.items()}
 
+    def _put(arr, sharding):
+        # multi-controller-safe placement: device_put cannot target
+        # non-addressable devices on a multi-host mesh; the callback form
+        # lets every process materialize only its addressable shards
+        # (each host may also hand in a memory-mapped loader this way)
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
     def place_image(im, arr):
         parts = []
         used = set()
@@ -72,7 +82,7 @@ def shard_plan_inputs(plan, mesh: Mesh, dim_axes: Dict[str, int] = None):
             else:
                 parts.append(None)
         parts.append(None)
-        return jax.device_put(arr, NamedSharding(mesh, P(*parts)))
+        return _put(arr, NamedSharding(mesh, P(*parts)))
 
     def place_sparse(sm, arr):
         # shard the in-space (edge/observation) axes: residual-domain
@@ -87,10 +97,20 @@ def shard_plan_inputs(plan, mesh: Mesh, dim_axes: Dict[str, int] = None):
             else:
                 parts.append(None)
         parts += [None] * (arr.ndim - len(sm.in_dims))
-        return jax.device_put(arr, NamedSharding(mesh, P(*parts)))
+        return _put(arr, NamedSharding(mesh, P(*parts)))
 
     images = {im.name: im for im in list(spec.unknowns) + list(spec.arrays)}
     smaps = {sm.name: sm for sm in spec.sparse_maps}
+    unknown_names = {im.name for im in spec.unknowns}
+    # host-side prep (gathered const tables, BSR row tables) needs FULL
+    # array values; build it from the pre-placement (process-local)
+    # arrays — placement never changes values — then replicate its
+    # leaves onto the mesh so the jitted step sees a consistent global
+    # placement even when this process can't address every shard
+    old_const = {k: v for k, v in plan._inputs.items() if k not in unknown_names}
+    prep = plan.compiled.prepare(old_const)
+    repl = NamedSharding(mesh, P())
+    plan._prep = jax.tree_util.tree_map(lambda x: _put(x, repl), prep)
     new_inputs = {}
     for k, v in plan._inputs.items():
         if k in images:
@@ -98,22 +118,19 @@ def shard_plan_inputs(plan, mesh: Mesh, dim_axes: Dict[str, int] = None):
         elif k in smaps:
             new_inputs[k] = place_sparse(smaps[k], v)
         else:
-            new_inputs[k] = jax.device_put(v, NamedSharding(mesh, P()))
+            new_inputs[k] = _put(v, NamedSharding(mesh, P()))
     plan._inputs = new_inputs
     plan._mesh = mesh
-    unknown_names = {im.name for im in spec.unknowns}
     # U must not alias _inputs (donation safety, see Plan.init)
     plan._U = {im.name: jax.numpy.copy(new_inputs[im.name]) for im in spec.unknowns}
     # keep the plan's derived state consistent with the re-placed arrays:
-    # _step_inputs() feeds _const_inputs into the jitted step, and _prep
-    # holds host-prepared gathers of them
+    # _step_inputs() feeds _const_inputs into the jitted step
     plan._const_inputs = {
         k: v for k, v in new_inputs.items() if k not in unknown_names
     }
-    plan._prep = plan.compiled.prepare(plan._const_inputs)
     if plan._lm is not None:
         repl = NamedSharding(mesh, P())
-        plan._lm = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), plan._lm)
+        plan._lm = jax.tree_util.tree_map(lambda x: _put(x, repl), plan._lm)
     return plan
 
 

@@ -8,10 +8,10 @@ parallel/mesh.py spans hosts — collectives ride ICI within a slice and
 DCN across slices, inserted by the SPMD partitioner exactly as in the
 single-host case.
 
-This module cannot be exercised in this environment (one chip, one
-host); it is the documented, tested-by-construction entry point:
-`initialize()` is a thin veneer over jax.distributed.initialize and
-everything downstream is host-count-agnostic.
+Exercised for real by tests/test_multihost.py::test_two_process_sharded_solve:
+two jax.distributed processes (2 CPU devices each, Gloo collectives)
+run a GN solve sharded over the 4-device global mesh and match the
+single-process converged cost.
 """
 from __future__ import annotations
 
