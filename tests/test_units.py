@@ -169,18 +169,36 @@ d = P(v0(e)) - P(v1(e))
 t = A(v0(e)) - A(v1(e))
 r = Residuals(edge=[dot(d, d) - dot(t, t), d(0) * d(1)])
 """
+    # second energy: TWO unknowns sharing the v0 index (exercises the
+    # shared-gather dedup in gather_all_cm)
+    src2 = """
+N, E = Dims("N", "E")
+Inputs(
+    P=Unknown(float3, (N,), 0),
+    Q=Unknown(float2, (N,), 1),
+    v0=Sparse((E,), (N,), 2),
+    v1=Sparse((E,), (N,), 3),
+)
+e = E()
+r = Residuals(edge=[P(v0(e))(0) * Q(v0(e))(1) - P(v1(e))(2),
+                    Q(v0(e))(0) + P(v0(e))(1)])
+"""
     rng = np.random.RandomState(7)
     Nn, Ee = 20, 55
     v0 = rng.randint(0, Nn, size=Ee).astype(np.int32)
     v1 = ((v0 + 1 + rng.randint(0, Nn - 1, size=Ee)) % Nn).astype(np.int32)
-    ins = {"P": rng.rand(Nn, 3).astype(np.float32),
-           "A": rng.rand(Nn, 3).astype(np.float32), "v0": v0, "v1": v1}
+    base = {"P": rng.rand(Nn, 3).astype(np.float32),
+            "A": rng.rand(Nn, 3).astype(np.float32),
+            "Q": rng.rand(Nn, 2).astype(np.float32), "v0": v0, "v1": v1}
     for mode in ("fwd", "rev"):
+      for energy in (src, src2):
         os.environ["THALLO_JAC_MODE"] = mode
         try:
-            spec = tl.load_energy(src)
+            spec = tl.load_energy(energy)
             plan = spec.plan({"N": Nn, "E": Ee})
-            plan.init(ins)
+            names = {im.name for im in spec.unknowns} | {a.name for a in spec.arrays}
+            plan.init({k: v for k, v in base.items()
+                       if k in names or k in ("v0", "v1")})
             g = plan.compiled.groups[0].group
             U = plan._U
             ains = plan._all_inputs()

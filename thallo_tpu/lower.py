@@ -958,7 +958,40 @@ class LoweredGroup:
         return srcT.at[:, flat.reshape(-1)].get(mode="promise_in_bounds")
 
     def gather_all_cm(self, X, inputs):
-        return [self.gather_slot_cm(s, X[s.image.name], inputs) for s in self.uslots]
+        """All unknown slots, channel-major, with same-index slots SHARING
+        one gather: gathers cost ~8 cycles PER INDEX independent of row
+        width (PERF.md), so slots whose symbolic index and source extent
+        coincide (e.g. ARAP's P(v0) and Angle(v0)) concatenate their
+        channel-major sources and pay the index cost once."""
+        groups: Dict[tuple, list] = {}
+        for i, s in enumerate(self.uslots):
+            key = (tuple(d.size for d in s.image.dims), s.comps)
+            groups.setdefault(key, []).append(i)
+        out: List = [None] * len(self.uslots)
+        for idxs in groups.values():
+            if len(idxs) == 1:
+                i = idxs[0]
+                s = self.uslots[i]
+                out[i] = self.gather_slot_cm(s, X[s.image.name], inputs)
+                continue
+            s0 = self.uslots[idxs[0]]
+            flat = self._slot_flat_indices(s0, inputs).reshape(-1)
+            cat = jnp.concatenate(
+                [
+                    X[self.uslots[i].image.name]
+                    .reshape(-1, self.uslots[i].image.channels)
+                    .T
+                    for i in idxs
+                ],
+                axis=0,
+            )  # [sum C_i, N]
+            g = cat.at[:, flat].get(mode="promise_in_bounds")
+            off = 0
+            for i in idxs:
+                C = self.uslots[i].image.channels
+                out[i] = g[off:off + C]
+                off += C
+        return out
 
     def _vmapped_cm(self, fn, uvalsT, consts):
         bdeps, ideps = consts["bdeps"], consts["ideps"]
