@@ -316,13 +316,23 @@ def bsr_apply(bsr: GroupBsr, blocks, p):
     for img in set(bsr.slot_images):
         C = p[img].shape[-1]
         pT[img] = p[img].reshape(-1, C).T  # [C, N_img]
-    # one [C, D, N] gather per unique (col table, image)
-    pg = {}
+    # one [C, D, N] gather per unique (col table, image) — and gathers
+    # sharing a col table concatenate their channel-major sources so the
+    # ~8-cycle-per-index cost (PERF.md) is paid once per table
+    by_table: Dict[tuple, list] = {}
     for gidx, (ct, img, C) in enumerate(bsr.col_gathers):
+        # sharing requires equal source extents (same element count)
+        by_table.setdefault((ct, pT[img].shape[1]), []).append((gidx, img, C))
+    pg = {}
+    for (ct, _), entries in by_table.items():
         D, N = bsr.cols[ct].shape
-        pg[gidx] = jnp.take(
-            pT[img], bsr.cols[ct].reshape(-1), axis=1
-        ).reshape(C, D, N)
+        cat = (pT[entries[0][1]] if len(entries) == 1
+               else jnp.concatenate([pT[img] for _, img, _ in entries], axis=0))
+        g = jnp.take(cat, bsr.cols[ct].reshape(-1), axis=1)
+        off = 0
+        for gidx, img, C in entries:
+            pg[gidx] = g[off:off + C].reshape(C, D, N)
+            off += C
     out: Dict[str, jnp.ndarray] = {}
     acc: Dict[int, jnp.ndarray] = {}  # row slot -> [Ci, N]
     for p_idx, pr in enumerate(bsr.pairs):
