@@ -284,3 +284,29 @@ def test_block_jacobi_preconditioner():
         }
         res[kind] = float(sum(jnp.sum(v * v) for v in lin_res.values()))
     assert res["block_jacobi"] <= res["jacobi"] * 1.05, res
+
+
+def test_warmup_precompiles_without_state_change():
+    """plan.warmup() compiles the solve-path executables but leaves the
+    solver state untouched: the subsequent solve matches a no-warmup
+    solve exactly."""
+    from thallo_tpu.models import image_warping as m
+
+    inputs = m.synthetic_inputs(16, 16)
+    spec = m.make_spec()
+    plan = spec.plan({"W": 16, "H": 16}, solver="levenberg_marquardt")
+    plan.set_solver_parameter("nIterations", 5)
+    plan.init(inputs)
+    U_before = {k: np.asarray(v) for k, v in plan._U.items()}
+    it_before = plan._iter
+    plan.warmup()
+    assert plan._iter == it_before
+    for k, v in plan._U.items():
+        np.testing.assert_array_equal(np.asarray(v), U_before[k])
+    warm = plan.solve()
+
+    plan2 = m.make_spec().plan({"W": 16, "H": 16}, solver="levenberg_marquardt")
+    plan2.set_solver_parameter("nIterations", 5)
+    plan2.init(inputs)
+    cold = plan2.solve()
+    assert np.isclose(warm, cold, rtol=1e-6)

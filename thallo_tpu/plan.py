@@ -569,6 +569,34 @@ class Plan:
                 )
         return self._donated_step_fn
 
+    def warmup(self) -> None:
+        """Pre-compile every solve-path executable (cost, the single
+        step, the donated step, the scanned dispatch if configured)
+        WITHOUT changing solver state, so the first solve()/step() after
+        deployment pays zero compile latency.  The reference compiles at
+        Thallo_ProblemPlan; under jit the compile otherwise happens at
+        first dispatch — call this at plan time for latency-sensitive
+        serving.  Also runs one throwaway step on copies of the state to
+        populate the device autotuner/executable caches end to end."""
+        if self._inputs is None:
+            raise RuntimeError("call init() first")
+        comp = self.compiled
+        cin, sp, prep = self._step_inputs(), self._sp(), self._prep
+        U = {k: jnp.copy(v) for k, v in self._U.items()}
+        lm = self._lm
+        comp.cost_jit(U, cin)
+        out = comp.step_jit(U, lm, cin, sp, prep)
+        if jax.default_backend() != "cpu":
+            # the donated/scanned fast paths compile separately; feed them
+            # the throwaway copies (donation invalidates them, not state)
+            U2, lm2, _, _ = out
+            fn = self._donated_step()
+            U2, lm2, _, _ = fn(U2, lm2, cin, sp, prep)
+            k = int(getattr(self, "steps_per_dispatch", 1))
+            if k > 1:
+                self._scan_step(k)(U2, lm2, cin, sp, prep)
+        jax.block_until_ready(self._U)
+
     def solve(self, inputs: Optional[Dict] = None) -> float:
         """Full solve (Thallo_ProblemSolve): init + steps until done.
         Returns final cost."""
