@@ -225,3 +225,45 @@ def test_exhaustive_enumerates_domain_orders():
             np.testing.assert_allclose(_solve(plan, _inputs(10)), ref, rtol=1e-3)
             break
     assert found, "no candidate produced a permuted domain order"
+
+
+def test_set_sparse_forces_bsr_below_threshold():
+    """JtJ.set_sparse(True) must force the block-sparse tables even when
+    the unknown count is under the dense-JtJ threshold (reference
+    set_sparse, thallo.t:5761-5772), with unchanged answers."""
+    src = """
+N, E = Dims("N", "E")
+Inputs(
+    X=Unknown(float2, (N,), 0),
+    A=Array(float2, (N,), 1),
+    v0=Sparse((E,), (N,), 2),
+    v1=Sparse((E,), (N,), 3),
+)
+n, e = N(), E()
+r = Residuals(fit=X(n) - A(n), reg=X(v0(e)) - X(v1(e)))
+r.reg.JtJ.set_materialize(True)
+r.reg.JtJ.set_sparse(True)
+"""
+    rng = np.random.RandomState(2)
+    Nn, Ee = 12, 30  # far below DENSE_JTJ_MAX_UNKNOWNS
+    v0 = rng.randint(0, Nn, size=Ee).astype(np.int32)
+    v1 = ((v0 + 1 + rng.randint(0, Nn - 1, size=Ee)) % Nn).astype(np.int32)
+    ins = {"X": rng.rand(Nn, 2).astype(np.float32),
+           "A": rng.rand(Nn, 2).astype(np.float32), "v0": v0, "v1": v1}
+
+    spec = tl.load_energy(src)
+    plan = spec.plan({"N": Nn, "E": Ee})
+    plan.init(dict(ins))
+    gp = next(g for g in plan.compiled.groups if g.force_sparse)
+    consts = plan._prep["consts"][plan.compiled.groups.index(gp)]
+    assert consts.get("bsr") is not None, "set_sparse did not build BSR tables"
+    plan.set_solver_parameter("nIterations", 6)
+    sparse_final = plan.solve()
+
+    src_plain = src.replace("r.reg.JtJ.set_materialize(True)\n", "").replace(
+        "r.reg.JtJ.set_sparse(True)\n", "")
+    spec2 = tl.load_energy(src_plain)
+    plan2 = spec2.plan({"N": Nn, "E": Ee})
+    plan2.set_solver_parameter("nIterations", 6)
+    plan2.init(dict(ins))
+    assert np.isclose(plan2.solve(), sparse_final, rtol=1e-3)

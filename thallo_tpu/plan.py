@@ -283,8 +283,13 @@ class Plan:
                     name + "_inlined", inline_computed(exprs, force=True),
                     spec, self.dim_sizes, self.dtype, domain_order=dorder,
                 )
+            force_sparse = any(
+                nr._sparse_mat.get("JtJ") or nr._sparse_mat.get("J")
+                for nr in nrs
+            )
             groups.append(GroupPlan(name=name, group=lg, schedule=schedule,
-                                    inline_group=twin))
+                                    inline_group=twin,
+                                    force_sparse=force_sparse))
         return groups
 
     @staticmethod

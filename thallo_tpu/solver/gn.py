@@ -179,6 +179,9 @@ class GroupPlan:
     # jacobian doesn't see; the reference solves this with explicit
     # gradient images, thallo.t:1777-1822)
     inline_group: LoweredGroup = None
+    # user's set_sparse(True) hint: force the block-sparse JtJ tables
+    # regardless of the dense-size threshold (reference thallo.t:5761-5772)
+    force_sparse: bool = False
 
     def jac_group(self):
         return self.inline_group or self.group
@@ -339,6 +342,8 @@ class CompiledSolver:
             JTJpSchedule.PRECOMPUTE_JTJ, JTJpSchedule.PRECOMPUTE_J_THEN_JTJ
         ):
             return False
+        if gp.force_sparse:
+            return True
         _, total = self.unknown_layout()
         return total > DENSE_JTJ_MAX_UNKNOWNS
 
