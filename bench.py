@@ -177,7 +177,11 @@ def bench_arap_marginal(side=256, l_lo=10, l_hi=110, n_steps=5):
         plan.run_steps(n_steps)
         jax.block_until_ready(plan._U)
         ts[li] = (time.perf_counter() - t0) / n_steps
-    return (ts[l_hi] - ts[l_lo]) / (l_hi - l_lo) * 1e3, E
+    # steady-state graph-energy throughput at l=16 (interpolated from the
+    # two measured points: fixed + 16*marginal)
+    marg_s = (ts[l_hi] - ts[l_lo]) / (l_hi - l_lo)
+    step16 = ts[l_lo] + (16 - l_lo) * marg_s
+    return marg_s * 1e3, E, 16.0 / step16
 
 
 def main():
@@ -214,8 +218,9 @@ def main():
         except Exception as e:  # noqa: BLE001
             extra[f"{name}_error"] = str(e)[:120]
     try:
-        ms, E = bench_arap_marginal()
+        ms, E, ips = bench_arap_marginal()
         extra["arap_261k_marginal_pcg_iter_ms"] = round(ms, 3)
+        extra["arap_261k_pcg_iters_per_s"] = round(ips, 2)
     except Exception as e:  # noqa: BLE001
         extra["arap_error"] = str(e)[:120]
     out["extra"] = extra
