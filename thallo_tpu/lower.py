@@ -893,6 +893,26 @@ class LoweredGroup:
             return list(self.uslots) + [cs for cs, _, _ in self.comp_slots]
         return list(self.uslots)
 
+    def gather_mask(self, slot: SlotSpec, masks, inputs) -> jnp.ndarray:
+        """Channelless mask gather aligned with `slot`: [R, *dep] floats.
+        Masks are stored [*dims] (no channel axis — a [*dims, 1] buffer
+        pads its trailing dim onto 128 lanes); rolls stay rolls, general
+        slots use a 1-D flat take (1-D outputs don't tile-pad)."""
+        mask = masks[slot.image.name]
+        rp = self._roll_plan(slot)
+        if rp is not None:
+            used, shifts = rp
+            v = mask
+            for j, off in enumerate(shifts):
+                if off:
+                    v = jnp.roll(v, -off, axis=j)
+            v = self._place_axes(v[..., None], used, 1)
+            return v.reshape(self.R)
+        flat = self._slot_flat_indices(slot, inputs)
+        m = mask.reshape(-1).at[flat.reshape(-1)].get(mode="promise_in_bounds")
+        dep_shape = tuple(d.dim.size for d in slot.dep_cons)
+        return m.reshape((self.R,) + dep_shape)
+
     def gather_jac_slot(self, j: int, arrs, inputs, consts=None):
         slot = self.jac_slots[j]
         stable = None

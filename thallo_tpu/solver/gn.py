@@ -304,32 +304,45 @@ class CompiledSolver:
         }
 
     # -- masks -------------------------------------------------------------
-    def masks(self, inputs, U):
+    def _eval_mask(self, im, inputs, U):
+        g, fn = self._exclude_fns[im.name]
+        shape = tuple(d.size for d in im.dims) + (1,)
+        v = fn(inputs, U)  # [*ext_shape(in discovered order), rc]
+        # map the pointwise group's discovered external-domain
+        # order onto the unknown's declared dim order (an exclude
+        # whose domains appear in a different order would
+        # otherwise silently transpose the mask on square grids)
+        ext_dims = [d.dim for d in g.ext_domains]
+        if len(ext_dims) == len(im.dims) and all(
+            any(dd is d for dd in ext_dims) for d in im.dims
+        ):
+            perm = [
+                next(i for i, dd in enumerate(ext_dims) if dd is d)
+                for d in im.dims
+            ]
+            v = jnp.transpose(v, tuple(perm) + (v.ndim - 1,))
+        return jnp.where(v.reshape(shape[:-1]) != 0, 0.0, 1.0).astype(self.dtype)
+
+    def masks(self, inputs, U, static=None):
         """Active-mask pytree: 1 where the unknown may move, 0 where
         excluded (reference fmap.exclude, thallo.t:1993-1997 +
-        gauss_newton.t unknownwise kernels)."""
+        gauss_newton.t unknownwise kernels).  `static` carries masks
+        hoisted by prepare() for excludes that reference no unknown —
+        the common case (a constant mask image); re-evaluating one every
+        step cost as much as the whole jacobian pass at 512^2 (PERF.md)."""
         out = {}
         for im in self.spec.unknowns:
-            shape = tuple(d.size for d in im.dims) + (1,)
-            if im.name in self._exclude_fns:
-                g, fn = self._exclude_fns[im.name]
-                v = fn(inputs, U)  # [*ext_shape(in discovered order), rc]
-                # map the pointwise group's discovered external-domain
-                # order onto the unknown's declared dim order (an exclude
-                # whose domains appear in a different order would
-                # otherwise silently transpose the mask on square grids)
-                ext_dims = [d.dim for d in g.ext_domains]
-                if len(ext_dims) == len(im.dims) and all(
-                    any(dd is d for dd in ext_dims) for d in im.dims
-                ):
-                    perm = [
-                        next(i for i, dd in enumerate(ext_dims) if dd is d)
-                        for d in im.dims
-                    ]
-                    v = jnp.transpose(v, tuple(perm) + (v.ndim - 1,))
-                out[im.name] = jnp.where(v.reshape(shape) != 0, 0.0, 1.0).astype(self.dtype)
+            # stored [*dims] (2-D for grids): a [*dims, 1] mask buffer
+            # would pad its trailing dim onto 128 lanes (~134 MB at
+            # 512^2) and be re-read at that size every PCG iteration;
+            # consumers broadcast a trailing channel axis in-fusion
+            if static is not None and im.name in static:
+                out[im.name] = static[im.name]
+            elif im.name in self._exclude_fns:
+                out[im.name] = self._eval_mask(im, inputs, U)
             else:
-                out[im.name] = jnp.ones(shape, dtype=self.dtype)
+                out[im.name] = jnp.ones(
+                    tuple(d.size for d in im.dims), dtype=self.dtype)
         return out
 
     # -- residuals / cost ---------------------------------------------------
@@ -360,6 +373,13 @@ class CompiledSolver:
         analog of the reference's plan-time parameter binding,
         util.t:609-643): const-slot gathers, bounds masks, index values —
         for each group and its inline twin."""
+        static_masks = {}
+        for im in self.spec.unknowns:
+            entry = self._exclude_fns.get(im.name)
+            if entry is not None and not entry[0].uslots:
+                # exclude references no unknown: the mask is a constant
+                # of the inputs — evaluate once here, not every step
+                static_masks[im.name] = self._eval_mask(im, inputs, {})
         return {
             "consts": self.group_consts(inputs),
             "twin_consts": [
@@ -367,6 +387,7 @@ class CompiledSolver:
                 if gp.inline_group is not None else None
                 for gp in self.groups
             ],
+            "masks_static": static_masks,
         }
 
     def cost(self, U, inputs, consts=None):
@@ -449,8 +470,10 @@ class CompiledSolver:
             if g.jac_slots[i].image.name not in self._exclude_fns:
                 out.append(jacs[i])  # mask is literal ones: skip the gather
                 continue
-            m = g.gather_jac_slot(i, masks, inputs)  # [R, *dep, 1]
-            out.append(jacs[i] * m[:, None])
+            m = g.gather_mask(g.jac_slots[i], masks, inputs)  # [R, *dep]
+            J = jacs[i]
+            shape = (m.shape[0], 1) + m.shape[1:] + (1,)
+            out.append(J * m.reshape(shape))
         return out
 
     def _mask_jacs_cm(self, g, jacsT, masks, inputs):
@@ -459,8 +482,8 @@ class CompiledSolver:
             if slot.image.name not in self._exclude_fns:
                 out.append(jacsT[i])
                 continue
-            m = g.gather_slot_cm(slot, masks[slot.image.name], inputs)  # [1, R]
-            out.append(jacsT[i] * m[0][None, None, :])
+            m = g.gather_mask(slot, masks, inputs)  # [R]
+            out.append(jacsT[i] * m[None, None, :])
         return out
 
     # -- J^T J p -------------------------------------------------------------
@@ -567,7 +590,8 @@ class CompiledSolver:
         return apply_jtjp
 
     def _bmask(self, masks):
-        return masks
+        # trailing channel axis, fused into the consuming multiply
+        return {k: v[..., None] for k, v in masks.items()}
 
     # -- dense Jacobian assembly (reference generateDumpJ + dense JTJ,
     # gauss_newton.t:325-488, 498-625) --------------------------------------
@@ -707,7 +731,7 @@ class CompiledSolver:
         prep = prep if prep is not None else self.prepare(inputs)
         consts = prep["consts"]
         twin_consts = prep["twin_consts"]
-        masks = self.masks(inputs, U)
+        masks = self.masks(inputs, U, prep.get("masks_static"))
         jac_store = {}
 
         mjtf, rawdiag, jac_store = self.jtf_and_diag(
@@ -870,7 +894,7 @@ class CompiledSolver:
             r_all, J = self.dense_jacobian(U, inputs, consts, masks)
             A = jnp.matmul(J.T, J, precision=jax.lax.Precision.HIGHEST)
             mflat = self.flatten_U(
-                {k: jnp.broadcast_to(v, v.shape[:-1] + (U[k].shape[-1],))
+                {k: jnp.broadcast_to(v[..., None], v.shape + (U[k].shape[-1],))
                  for k, v in masks.items()}
             )
             if self.uses_lambda:
@@ -879,7 +903,7 @@ class CompiledSolver:
             A = A + jnp.diag(1.0 - mflat)
             gvec = jnp.matmul(J.T, r_all, precision=jax.lax.Precision.HIGHEST)
             delta_flat = jnp.linalg.solve(A, -gvec)
-            return tree_mul(self.unflatten_U(delta_flat), masks)
+            return tree_mul(self.unflatten_U(delta_flat), self._bmask(masks))
 
         # ---- PCG inner loop (lax.while_loop; reference gauss_newton.t:
         # 1615-1687, all reductions stay on device) ----
@@ -925,7 +949,7 @@ class CompiledSolver:
 
         init = (jnp.asarray(0, jnp.int32), delta0, r0, p0, alpha_num0, Q0, jnp.asarray(False))
         _, delta, _, _, _, _, _ = jax.lax.while_loop(cond_fn, body_fn, init)
-        return tree_mul(delta, masks)
+        return tree_mul(delta, self._bmask(masks))
 
     def finish_step(self, U, lm: LMState, state, delta, inputs, sp: SolverParams,
                     prep=None):
