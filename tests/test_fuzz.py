@@ -204,3 +204,61 @@ r = Residuals(f=Select(InBounds(x + {ox}, y), ca(x, y) - ca(x + {ox}, y), 0))
     flat, unflatten = flatten_tree(U)
     J_oracle = np.asarray(jax.jacfwd(lambda v: res_all(unflatten(v)))(flat))
     np.testing.assert_allclose(J_d[:, ~excluded], J_oracle[:, ~excluded], rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_block_sparse_schedule(seed):
+    """The block-sparse materialized-JtJ pipeline (BSR tables +
+    channel-major jacobians + block-Jacobi preconditioner inputs) fuzzed
+    against the dense jacfwd oracle: set_sparse forces the BSR path even
+    at fuzz sizes, so jtf/diag/JTJp must still match exactly."""
+    rng = np.random.RandomState(seed + 500)
+    src, sizes, mk = random_energy(rng)
+    if "Sparse(" not in src:
+        pytest.skip("not a graph energy")
+    spec = tl.load_energy(src)
+    for nr in spec.energy:
+        nr.JtJ.set_materialize(True)
+        nr.JtJ.set_sparse(True)
+    plan = spec.plan(sizes)
+    inputs = mk(np.random.RandomState(seed + 1500))
+    plan.init(inputs)
+
+    comp = plan.compiled
+    assert any(gp.force_sparse for gp in comp.groups)
+    U, ins = plan._U, plan._step_inputs()
+    consts = plan._prep["consts"]
+    assert any(
+        isinstance(c, dict) and c.get("bsr") is not None for c in consts
+    ), "fuzz energy did not build BSR tables"
+    masks = comp.masks(ins, U)
+
+    def res_all(Uv):
+        return jnp.concatenate(
+            [gp.group.residuals(Uv, ins, c).reshape(-1)
+             for gp, c in zip(comp.groups, consts)]
+        )
+
+    flat, unflatten = flatten_tree(U)
+    J_oracle = jax.jacfwd(lambda v: res_all(unflatten(v)))(flat)
+    r_oracle = res_all(U)
+
+    jac_store = {}
+    mjtf, diag, jac_store = comp.jtf_and_diag(U, ins, consts, masks, jac_store)
+    jtf_flat, _ = flatten_tree(mjtf)
+    diag_flat, _ = flatten_tree(diag)
+    np.testing.assert_allclose(
+        np.asarray(jtf_flat), np.asarray(-(J_oracle.T @ r_oracle)),
+        rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(diag_flat), np.asarray(jnp.sum(J_oracle * J_oracle, axis=0)),
+        rtol=2e-4, atol=2e-5)
+
+    apply_jtjp = comp.make_jtjp(U, ins, consts, masks, jac_store)
+    p = unflatten(jnp.asarray(
+        np.random.RandomState(seed + 2500).randn(flat.size), jnp.float32))
+    Ap_flat, _ = flatten_tree(apply_jtjp(p))
+    pflat, _ = flatten_tree(p)
+    np.testing.assert_allclose(
+        np.asarray(Ap_flat), np.asarray(J_oracle.T @ (J_oracle @ pflat)),
+        rtol=5e-4, atol=5e-5)
