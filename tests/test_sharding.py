@@ -102,3 +102,38 @@ def test_graph_edge_sharded_solve():
     f0 = run(False)
     f1 = run(True)
     assert np.isclose(f0, f1, rtol=1e-3)
+
+
+def test_shard_contraction_energy():
+    """Regression: prep trees carry non-array leaves (IndexDomain in
+    bdeps/ideps) for contraction-dependent bounds; shard_plan_inputs must
+    place only array leaves (it crashed on make_array_from_callback of an
+    IndexDomain)."""
+    import thallo_tpu as tl
+
+    src = """
+N, K = Dims("N", "K")
+Inputs(C=Unknown(float, (K,), 0), R=Array(float, (N,), 1), T=Array(float, (N,), 2))
+n, k = N(), K()
+acc = Sum([k], Select(InBounds(n - k + 1), R(n - k + 1), 0) * C(k))
+r = Residuals(conv=T(n) - acc)
+"""
+    rng = np.random.RandomState(0)
+    nN, nK = 16, 3
+    spec = tl.load_energy(src)
+    plan = spec.plan({"N": nN, "K": nK})
+    plan.set_solver_parameter("nIterations", 3)
+    ins = {"C": rng.randn(nK).astype(np.float32),
+           "R": rng.randn(nN).astype(np.float32),
+           "T": rng.randn(nN).astype(np.float32)}
+    c0 = plan.init(dict(ins))
+    ref_plan = tl.load_energy(src).plan({"N": nN, "K": nK})
+    ref_plan.set_solver_parameter("nIterations", 3)
+    ref_plan.init(dict(ins))
+    ref = ref_plan.solve()
+
+    mesh = make_mesh(8, axis_names=("x",))
+    shard_plan_inputs(plan, mesh, dim_axes={"N": "x"})
+    with mesh:
+        got = plan.solve()
+    assert np.isclose(got, ref, rtol=1e-4), (got, ref)

@@ -725,13 +725,16 @@ class LoweredGroup:
             from .solver.blocksparse import build_group_bsr
 
             bsr = build_group_bsr(self, inputs, self.dtype)
+        # dep-domain tuples are STATIC per lowering (they derive from the
+        # expressions, not the data); keeping them out of the consts dict
+        # keeps every prep leaf a jax array (prep rides through jit)
+        self._bdeps_static = tuple(d for _, d in bpairs)
+        self._ideps_static = tuple(d for _, d in ipairs)
         return {
             "bsr": bsr,
             "cvals": cvals,
             "barrs": [v for v, _ in bpairs],
-            "bdeps": [d for _, d in bpairs],
             "iarrs": [v for v, _ in ipairs],
-            "ideps": [d for _, d in ipairs],
             "params": params,
             "simgs": simgs,
             "stables": stables,
@@ -948,7 +951,7 @@ class LoweredGroup:
         return [self.gather_slot(i, X, inputs, consts) for i in range(len(self.uslots))]
 
     def _vmapped(self, fn, uvals, consts, mvals=None):
-        bdeps, ideps = consts["bdeps"], consts["ideps"]
+        bdeps, ideps = self._bdeps_static, self._ideps_static
         params, simgs = consts["params"], consts["simgs"]
         mvals = mvals if mvals is not None else []
 
@@ -1014,7 +1017,7 @@ class LoweredGroup:
         return out
 
     def _vmapped_cm(self, fn, uvalsT, consts):
-        bdeps, ideps = consts["bdeps"], consts["ideps"]
+        bdeps, ideps = self._bdeps_static, self._ideps_static
         params, simgs = consts["params"], consts["simgs"]
 
         def point(u, c, b, iv):
@@ -1185,7 +1188,7 @@ class LoweredGroup:
             )
         consts = consts if consts is not None else self.prepared_consts(inputs)
         uvals = self.gather_all(X, inputs)
-        bdeps, ideps = consts["bdeps"], consts["ideps"]
+        bdeps, ideps = self._bdeps_static, self._ideps_static
         params, simgs = consts["params"], consts["simgs"]
 
         def point(u, c, b, iv):

@@ -110,7 +110,12 @@ def shard_plan_inputs(plan, mesh: Mesh, dim_axes: Dict[str, int] = None):
     old_const = {k: v for k, v in plan._inputs.items() if k not in unknown_names}
     prep = plan.compiled.prepare(old_const)
     repl = NamedSharding(mesh, P())
-    plan._prep = jax.tree_util.tree_map(lambda x: _put(x, repl), prep)
+    # prep trees carry non-array leaves (IndexDomain objects in
+    # bdeps/ideps for contraction-dependent bounds) — place only arrays
+    plan._prep = jax.tree_util.tree_map(
+        lambda x: _put(x, repl) if isinstance(x, (np.ndarray, jax.Array)) else x,
+        prep,
+    )
     new_inputs = {}
     for k, v in plan._inputs.items():
         if k in images:
@@ -163,19 +168,29 @@ def collective_stats(hlo_text: str):
     }
     itemsize = {"f32": 4, "s32": 4, "u32": 4, "f64": 8, "bf16": 2,
                 "f16": 2, "s8": 1, "u8": 1, "pred": 1}
+    shape_re = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
     for kind, op in (("all_gather", "all-gather"),
                      ("all_reduce", "all-reduce"),
                      ("collective_permute", "collective-permute"),
                      ("reduce_scatter", "reduce-scatter")):
         total = 0
-        for m in re.finditer(
-            r"= ([a-z0-9]+)\[([0-9,]*)\][^=]*? " + op + r"[.(]", hlo_text
-        ):
-            n = 1
-            for s in m.group(2).split(","):
-                if s:
-                    n *= int(s)
-            total += n * itemsize.get(m.group(1), 4)
+        # line-based: handles async forms (-start; skip -done to avoid
+        # double counting) and tuple-shaped results — sum every result
+        # shape on the LHS of the op
+        op_re = re.compile(r"=\s*(\(?[^=]*?)\s" + op + r"(-start)?[.(]")
+        for line in hlo_text.splitlines():
+            if op + "(" not in line and op + "-start(" not in line and \
+               op + "." not in line:
+                continue
+            m = op_re.search(line)
+            if not m:
+                continue
+            for dt, dims in shape_re.findall(m.group(1)):
+                n = 1
+                for s in dims.split(","):
+                    if s:
+                        n *= int(s)
+                total += n * itemsize.get(dt, 4)
         out[kind + "_bytes"] = total
     return out
 

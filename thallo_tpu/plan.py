@@ -267,7 +267,10 @@ class Plan:
                 dorder = None  # autoscheduler clears directives (thallo.t:5166)
             lg = LoweredGroup(name, exprs, spec, self.dim_sizes, self.dtype,
                               domain_order=dorder)
-            user_directed = any(any(nr._materialize.values()) for nr in nrs)
+            user_directed = any(
+                any(nr._materialize.values()) or any(nr._sparse_mat.values())
+                for nr in nrs
+            )
             if auto == 0 and not user_directed:
                 from .schedule import default_schedule
 
@@ -352,14 +355,20 @@ class Plan:
                 raise ValueError(f"missing sparse map {sm.name}")
             raw = np.asarray(inputs[sm.name])
             # bounds-check on the host at bind time: device gathers use
-            # promise_in_bounds and would silently clamp a bad index (the
-            # reference's validateParameters probes every user pointer,
-            # util.t:645-674 — this is the TPU analog of that guard)
-            n_out = int(np.prod([d.size for d in sm.out_dims]))
-            if raw.size and (raw.min() < 0 or raw.max() >= n_out):
-                raise ValueError(
-                    f"sparse map {sm.name}: indices must be in [0, {n_out}); "
-                    f"got range [{raw.min()}, {raw.max()}]")
+            # promise_in_bounds / wrap and would silently clamp a bad
+            # index (the reference's validateParameters probes every user
+            # pointer, util.t:645-674).  Maps store ONE INDEX COLUMN PER
+            # OUT DIM (lower._sparse_arrays), so validate per column
+            # against that dim's own size.
+            if raw.size:
+                cols = raw.reshape(-1, len(sm.out_dims))
+                for j, d in enumerate(sm.out_dims):
+                    cj = cols[:, j]
+                    if cj.min() < 0 or cj.max() >= d.size:
+                        raise ValueError(
+                            f"sparse map {sm.name}: indices for out dim "
+                            f"{d.name} must be in [0, {d.size}); got range "
+                            f"[{cj.min()}, {cj.max()}]")
             arr = jnp.asarray(raw, dtype=jnp.int32)
             out[sm.name] = arr
         for p in self.spec.params:

@@ -269,25 +269,26 @@ class CompiledSolver:
             apply_jtjp = self.make_jtjp(
                 U, inputs, prep["consts"], state["masks"], state["jac_store"],
                 prep["twin_consts"])
-            p0 = tree_mul(state["pre"], state["r0"])
+            p0 = self.precond_apply(state, state["r0"])
             Ap = apply_jtjp(p0)
             if self.uses_lambda:
                 Ap = tree_add(Ap, tree_mul(state["CtC"], p0))
             return Ap, tree_dot(p0, Ap)
 
         def pcg_step2(state):
-            # x/r/z updates + beta numerator (PCGStep2)
+            # x/r/z updates + beta numerator (PCGStep2); applies the SAME
+            # preconditioner the real loop uses (scalar or block-Jacobi)
             alpha = jnp.asarray(0.5, dtype)
-            r0, pre = state["r0"], state["pre"]
+            r0 = state["r0"]
             delta = tree_scale(r0, alpha)
             r = tree_axpy(-alpha, r0, r0)
-            z = tree_mul(pre, r)
+            z = self.precond_apply(state, r)
             return delta, r, z, tree_dot(z, r)
 
         def pcg_step3(state):
             # p = z + beta p (PCGStep3)
             beta = jnp.asarray(0.25, dtype)
-            z = tree_mul(state["pre"], state["r0"])
+            z = self.precond_apply(state, state["r0"])
             return tree_axpy(beta, state["r0"], z)
 
         def linear_update(U, state):
@@ -392,11 +393,19 @@ class CompiledSolver:
 
     def cost(self, U, inputs, consts=None):
         """0.5 * sum of squared residuals (reference createcost,
-        thallo.t:3939-3948)."""
+        thallo.t:3939-3948).  Pure graph groups evaluate channel-major
+        (minor-axis gathers, lower.residuals_cm); the sum of squares is
+        layout-invariant."""
         consts = consts or self.group_consts(inputs)
         total = jnp.asarray(0.0, self.dtype)
         for gp, c in zip(self.groups, consts):
-            r = gp.group.residuals(U, inputs, c)
+            g = gp.group
+            if (not g.mslots and not g.con_domains
+                    and all(not s.dep_cons for s in g.uslots)
+                    and not any(g._roll_plan(s) is not None for s in g.uslots)):
+                r = g.residuals_cm(U, inputs, c)
+            else:
+                r = g.residuals(U, inputs, c)
             total = total + jnp.sum(r * r)
         return 0.5 * total
 

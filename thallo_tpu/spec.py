@@ -120,10 +120,13 @@ class NamedResidual:
         get_schedule, thallo.t:4100-4134).  Unscheduled groups default to
         LINEARIZE (TPU-first; pass default=JTJpSchedule.INLINE for the
         reference's recompute behavior)."""
+        # set_sparse(X) implies materializing X (the reference's
+        # set_sparse acts on already-materialized tensors; alone it would
+        # otherwise be silently dropped)
         J, JtJ, Jp = (
-            self._materialize["J"],
-            self._materialize["JtJ"],
-            self._materialize["Jp"],
+            self._materialize["J"] or self._sparse_mat.get("J", False),
+            self._materialize["JtJ"] or self._sparse_mat.get("JtJ", False),
+            self._materialize["Jp"] or self._sparse_mat.get("Jp", False),
         )
         if J and JtJ:
             return JTJpSchedule.PRECOMPUTE_J_THEN_JTJ
