@@ -368,3 +368,25 @@ r = Residuals(edge=X(v0(e)) - 1.0)
     # valid indices still bind
     plan.init({"X": np.ones(8, np.float32),
                "v0": np.array([0, 1, 2, 3], np.int32)})
+
+
+def test_sparse_index_bounds_per_out_dim():
+    """Multi-out-dim sparse maps store one index column per out dim; a
+    column exceeding ITS OWN dim (but below the flat product) must be
+    rejected (review finding: the flat check let it wrap silently)."""
+    src = """
+W, A, B = Dims("W", "A", "B")
+Inputs(
+    X=Unknown(float, (A, B), 0),
+    m=Sparse((W,), (A, B), 1),
+)
+w = W()
+r = Residuals(pick=X(m(w)) - 1.0)
+"""
+    spec = tl.load_energy(src)
+    plan = spec.plan({"W": 3, "A": 4, "B": 100})
+    ok = np.array([[0, 5], [3, 99], [2, 0]], np.int32)
+    bad = np.array([[0, 5], [7, 99], [2, 0]], np.int32)  # 7 >= A=4, but 7 < 400
+    with pytest.raises(ValueError, match="m.*A.*\\[0, 4\\)"):
+        plan.init({"X": np.ones((4, 100), np.float32), "m": bad})
+    plan.init({"X": np.ones((4, 100), np.float32), "m": ok})
