@@ -310,3 +310,31 @@ def test_warmup_precompiles_without_state_change():
     plan2.init(inputs)
     cold = plan2.solve()
     assert np.isclose(warm, cold, rtol=1e-6)
+
+
+def test_kernel_stats_with_block_jacobi():
+    """The per-kernel probes must run the block-Jacobi preconditioner on
+    BSR workloads (review finding: they always probed the scalar pre)."""
+    import thallo_tpu.schedule as sched
+    from thallo_tpu.models import bundle_adjustment as ba
+
+    inputs, _ = ba.synthetic_inputs(n_cameras=4, n_points=32, obs_per_point=3)
+    O = len(inputs["oToC"])
+    old = sched.DENSE_JTJ_MAX_UNKNOWNS
+    sched.DENSE_JTJ_MAX_UNKNOWNS = 1  # force the block-sparse path at test size
+    try:
+        plan = ba.make_spec().plan({"C": 4, "P": 32, "O": O},
+                                   solver="levenberg_marquardt", timing_level=3)
+        plan.set_solver_parameter("nIterations", 2)
+        plan.init(inputs)
+        # confirm block preconditioner is actually in play for this workload
+        comp = plan.compiled
+        st = comp.solve_setup(plan._U, plan._lm, plan._step_inputs(),
+                              plan._sp(), plan._prep)
+        assert st["pre_block"], "expected block-Jacobi blocks on BA"
+        plan.solve()
+    finally:
+        sched.DENSE_JTJ_MAX_UNKNOWNS = old
+    s = plan.get_performance_summary()
+    for k in ["PCGStep1", "PCGStep2", "PCGStep3"]:
+        assert s.get(k) and s[k]["count"] > 0, k
