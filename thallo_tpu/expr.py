@@ -120,6 +120,16 @@ class ImageAccess(Exp):
         return f"{self.image.name}({','.join(map(repr, self.comps))})[{self.channel}]"
 
 
+    def set_materialize(self, flag: bool = True):
+        """Schedule hint on a get()/ComputedArray access: materialize the
+        underlying computed image (reference exp:get(...):set_materialize)."""
+        self.image.set_materialize(flag)
+        return self
+
+    def set_gradient_materialize(self, flag: bool = True):
+        self.image.set_gradient_materialize(flag)
+        return self
+
 class ParamValue(Exp):
     """A scalar problem parameter (reference `ParamValue`)."""
 
@@ -319,6 +329,16 @@ class ExpVector:
 
     def __repr__(self):
         return f"Vector({', '.join(map(repr, self.data))})"
+
+    def set_materialize(self, flag: bool = True):
+        """Delegate to the accessed computed image (all channels of a
+        get() share one image)."""
+        self.data[0].set_materialize(flag)
+        return self
+
+    def set_gradient_materialize(self, flag: bool = True):
+        self.data[0].set_gradient_materialize(flag)
+        return self
 
 
 def channels_of(v):

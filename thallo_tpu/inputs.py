@@ -53,6 +53,18 @@ class Image:
         self.materialize = bool(flag)
         return self
 
+    def set_gradient_materialize(self, flag: bool = True):
+        """Recorded hint (reference set_gradient_materialize on
+        maybe_computed_arrays, tests/expansive_sparse_materialize): here
+        the CA's gradient arrays are materialized exactly when the CA
+        itself is (lower.py _ca_vals_and_grads); inline CAs differentiate
+        through JAX directly, so a separate gradient-image toggle has no
+        execution meaning on TPU."""
+        if self.kind != "computed":
+            raise ValueError("set_gradient_materialize applies to computed arrays")
+        self.gradient_materialize = bool(flag)
+        return self
+
     @property
     def channels(self):
         return self.vtype.channels
