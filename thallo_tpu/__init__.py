@@ -25,7 +25,7 @@ from .typesys import (  # noqa: F401
     mat3f,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Dim",
