@@ -39,12 +39,13 @@ HBM_BYTES = 16e9
 DENSE_JTJ_MAX_UNKNOWNS = 4096  # reference dense_materialize_threshold=256
                                # (thallo.t:4204) scaled for MXU gemv
 
-# Measured TPU v5e row-granular access costs (PERF.md "the scatter wall":
-# XLA scatter-add ~12 cycles/row ~ 3.5 ms per 261k rows; row gather
-# ~0.4 ms), expressed as equivalent streamed bytes at HBM_BYTES_PER_S so
-# they compose with the traffic model.
+# Measured TPU v5e row-granular access costs, expressed as equivalent
+# streamed bytes at HBM_BYTES_PER_S so they compose with the traffic
+# model: scatter-add ~12 cycles/row (3.5 ms / 261k rows, PERF.md "the
+# scatter wall"); dynamic gathers ~8 cycles PER INDEX independent of row
+# width (2.0 ms / 250k indices, PERF.md "the per-index gather floor").
 SCATTER_ROW_EQ_BYTES = 10_000
-GATHER_ROW_EQ_BYTES = 1_200
+GATHER_ROW_EQ_BYTES = 6_400
 
 
 def _group_stats(gp, dtype_bytes=4):
@@ -97,7 +98,10 @@ def estimate_group_cost(gp, schedule: JTJpSchedule, lin_iter_hint: int = 10,
     the reference's nonlinear + lin_iter_hint * linear decomposition
     (cost_of_scheduled_energy)."""
     st = _group_stats(gp, dtype_bytes)
-    fwd = st["gather_bytes"] + st["const_bytes"] + st["res_bytes"]
+    # every forward/tangent/cotangent pass pays the per-index gather
+    # floor once per non-roll slot access (width is free — PERF.md)
+    fwd = (st["gather_bytes"] + st["const_bytes"] + st["res_bytes"]
+           + st["scatter_slots"] * st["R"] * GATHER_ROW_EQ_BYTES)
     # per-apply scatter/gather row penalties for graph slots (zero for
     # pure stencil groups, whose transposes are inverse rolls)
     scat = st["scatter_slots"] * st["R"] * SCATTER_ROW_EQ_BYTES
