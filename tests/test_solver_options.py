@@ -338,3 +338,41 @@ def test_kernel_stats_with_block_jacobi():
     s = plan.get_performance_summary()
     for k in ["PCGStep1", "PCGStep2", "PCGStep3"]:
         assert s.get(k) and s[k]["count"] > 0, k
+
+
+def test_double_precision_solve():
+    """double_precision (reference doublePrecision init param,
+    Thallo.h:11-14): f64 unknowns/solve end to end on both a stencil and
+    a graph/BSR energy; results at least as accurate as f32."""
+    import jax
+
+    n = 10
+    inputs = _lap_inputs(n)
+    spec = tl.load_energy(LAPLACIAN, tl.ProblemSpec(double_precision=True))
+    plan = spec.plan({"W": n, "H": n}, solver="levenberg_marquardt")
+    plan.set_solver_parameter("nIterations", 6)
+    c0 = plan.init(inputs)
+    assert plan._U["X"].dtype == np.float64
+    final = plan.solve()
+    assert final < c0
+    assert np.asarray(plan.get_unknown("X")).dtype == np.float64
+
+    # graph energy through the block-sparse path in f64
+    import thallo_tpu.schedule as sched
+
+    old = sched.DENSE_JTJ_MAX_UNKNOWNS
+    sched.DENSE_JTJ_MAX_UNKNOWNS = 1
+    try:
+        nN, nE = 16, 15
+        rng = np.random.RandomState(3)
+        spec2 = tl.load_energy(GRAPH, tl.ProblemSpec(double_precision=True))
+        plan2 = spec2.plan({"N": nN, "E": nE})
+        plan2.set_solver_parameter("nIterations", 6)
+        plan2.set_solver_parameter("lIterations", 30)
+        t = rng.rand(nN).astype(np.float64)
+        c0 = plan2.init({"X": t.copy(), "A": t,
+                         "v0": np.arange(0, nE, dtype=np.int32),
+                         "v1": np.arange(1, nE + 1, dtype=np.int32)})
+        assert plan2.solve() < max(c0, 1e-12)
+    finally:
+        sched.DENSE_JTJ_MAX_UNKNOWNS = old
