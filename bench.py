@@ -189,8 +189,40 @@ def bench_arap_marginal(side=256, l_lo=10, l_hi=110, n_steps=5):
     return marg_s * 1e3, E, 16.0 / step16
 
 
+def _preflight(timeout_s=240):
+    """Fail fast with a diagnosable JSON line when the backend is
+    unresponsive (the axon relay can wedge on orphaned remote compiles; a
+    silent multi-hour hang would otherwise eat the whole bench window).
+    Probes in a SUBPROCESS: the hang sits inside an uninterruptible
+    plugin call, so in-process alarms never fire — only a killable child
+    bounds it."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    probe = ("import jax, jax.numpy as jnp; "
+             "jax.block_until_ready(jax.jit(lambda a: a * 2)(jnp.ones((8, 8)))); "
+             "print('ok')")
+    try:
+        r = subprocess.run([_sys.executable, "-c", probe], timeout=timeout_s,
+                           env=dict(os.environ), capture_output=True)
+    except subprocess.TimeoutExpired:
+        raise TimeoutError(f"backend unresponsive after {timeout_s}s")
+    if r.returncode != 0:
+        raise RuntimeError(f"backend probe failed: {r.stderr[-200:]!r}")
+
+
 def main():
     extra = {}
+    try:
+        _preflight()
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({
+            "metric": "image_warping_512_pcg_iters_per_s",
+            "value": 0.0, "unit": "PCG iters/s", "vs_baseline": 0.0,
+            "error": f"preflight: {e}"[:200],
+        }))
+        return 1
     try:
         v, tt, conv = bench_image_warping()
         out = {
