@@ -153,6 +153,7 @@ CANDIDATES = [
     JTJpSchedule.INLINE,
     JTJpSchedule.PRECOMPUTE_J,
     JTJpSchedule.PRECOMPUTE_JTJ,
+    JTJpSchedule.APPLY_SEPARATELY,
 ]
 
 
