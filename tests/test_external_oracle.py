@@ -58,7 +58,7 @@ r = Residuals(
         return e
 
     opt.step(closure)
-    theirs = float(energy())
+    theirs = float(energy().detach())
     assert abs(ours - theirs) <= 1e-3 * max(abs(theirs), 1.0), (ours, theirs)
 
 
@@ -117,7 +117,7 @@ r = Residuals(
         return e
 
     opt.step(closure)
-    theirs = float(energy())
+    theirs = float(energy().detach())
     assert abs(ours - theirs) <= 1e-3 * max(abs(theirs), 1.0), (ours, theirs)
 
 
