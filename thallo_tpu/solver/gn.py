@@ -876,7 +876,7 @@ class CompiledSolver:
         twin_consts = prep["twin_consts"]
         masks = state["masks"]
         jac_store = state["jac_store"]
-        r0, pre, CtC = state["r0"], state["pre"], state["CtC"]
+        r0, CtC = state["r0"], state["CtC"]
 
         b = r0
         p0 = self.precond_apply(state, r0)
