@@ -515,11 +515,7 @@ class LoweredGroup:
         rp = self._roll_plan(slot)
         if rp is not None:
             used, shifts = rp
-            v = img
-            for j, off in enumerate(shifts):
-                if off:
-                    v = jnp.roll(v, -off, axis=j)
-            v = self._place_axes(v, used, C)
+            v = self._place_axes(self._apply_roll(img, shifts), used, C)
             return v.reshape((self.R, C))
         flat = self._slot_flat_indices(slot, inputs)
         src = img.reshape(-1, C)
@@ -896,6 +892,13 @@ class LoweredGroup:
             return list(self.uslots) + [cs for cs, _, _ in self.comp_slots]
         return list(self.uslots)
 
+    @staticmethod
+    def _apply_roll(v, shifts):
+        for j, off in enumerate(shifts):
+            if off:
+                v = jnp.roll(v, -off, axis=j)
+        return v
+
     def gather_mask(self, slot: SlotSpec, masks, inputs) -> jnp.ndarray:
         """Channelless mask gather aligned with `slot`: [R, *dep] floats.
         Masks are stored [*dims] (no channel axis — a [*dims, 1] buffer
@@ -905,16 +908,21 @@ class LoweredGroup:
         rp = self._roll_plan(slot)
         if rp is not None:
             used, shifts = rp
-            v = mask
-            for j, off in enumerate(shifts):
-                if off:
-                    v = jnp.roll(v, -off, axis=j)
-            v = self._place_axes(v[..., None], used, 1)
+            v = self._place_axes(self._apply_roll(mask, shifts)[..., None], used, 1)
             return v.reshape(self.R)
         flat = self._slot_flat_indices(slot, inputs)
         m = mask.reshape(-1).at[flat.reshape(-1)].get(mode="promise_in_bounds")
         dep_shape = tuple(d.dim.size for d in slot.dep_cons)
         return m.reshape((self.R,) + dep_shape)
+
+    def _use_rev_mode(self, total_channels: int) -> bool:
+        """Forward mode costs one tangent pass per unknown/CA channel;
+        reverse one (~2x-priced) cotangent pass per residual channel.
+        THALLO_JAC_MODE=fwd/rev overrides for measurement."""
+        mode = os.environ.get("THALLO_JAC_MODE", "auto")
+        if mode == "auto":
+            return 2 * self.rc < total_channels
+        return mode == "rev"
 
     def gather_jac_slot(self, j: int, arrs, inputs, consts=None):
         slot = self.jac_slots[j]
@@ -1029,6 +1037,15 @@ class LoweredGroup:
             uvalsT, consts["cvals"], consts["barrs"], consts["iarrs"]
         )
 
+    @property
+    def supports_cm(self) -> bool:
+        """Pure graph group: the channel-major pipeline applies (no
+        materialized CAs, contractions, fiber slots, or roll-plan slots
+        — the same shapes build_group_bsr accepts)."""
+        return (not self.mslots and not self.con_domains
+                and all(not s.dep_cons for s in self.uslots)
+                and not any(self._roll_plan(s) is not None for s in self.uslots))
+
     def residuals_cm(self, X, inputs, consts=None):
         """r(U): [rc, R] channel-major."""
         consts = consts if consts is not None else self.prepared_consts(inputs)
@@ -1042,9 +1059,7 @@ class LoweredGroup:
         consts = consts if consts is not None else self.prepared_consts(inputs)
         uvalsT = self.gather_all_cm(X, inputs)
         f = lambda uv: self._vmapped_cm(self._F, uv, consts)  # noqa: E731
-        total_c = sum(s.image.channels for s in self.uslots)
-        mode = os.environ.get("THALLO_JAC_MODE", "auto")
-        use_rev = (2 * self.rc < total_c) if mode == "auto" else (mode == "rev")
+        use_rev = self._use_rev_mode(sum(s.image.channels for s in self.uslots))
         if use_rev:
             r, vjp_fn = jax.vjp(f, uvalsT)
             rows = []
@@ -1122,11 +1137,10 @@ class LoweredGroup:
         # residual channel.  Bundle adjustment (rc=2, 12 unknown channels)
         # is the canonical reverse winner — measured 8.0 -> 6.5 ms per
         # LM step at 32k observations (PERF.md).
-        total_c = sum(s.image.channels for s in self.uslots) + sum(
-            s.image.channels for s in self.mslots
+        use_rev = self._use_rev_mode(
+            sum(s.image.channels for s in self.uslots)
+            + sum(s.image.channels for s in self.mslots)
         )
-        mode = os.environ.get("THALLO_JAC_MODE", "auto")
-        use_rev = (2 * self.rc < total_c) if mode == "auto" else (mode == "rev")
         if use_rev:
             r, vjp_fn = jax.vjp(f, uvals, mvals)
             rows = []

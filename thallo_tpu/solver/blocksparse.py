@@ -202,8 +202,9 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
     entry where XLA fuses the relayout into the jacobian producers, and
     every intermediate after that — J^T r, diag, edge blocks, the wide
     payload, the row-table gather — pads only its small sublane axis
-    (measured at BA 250k obs: 14.4 -> 1.8 ms per assembly; the same
-    minor-dim tiling wall bsr_apply hit first, PERF.md).
+    (the same minor-dim tiling wall bsr_apply hit first; the remaining
+    setup cost is the per-index gather floor, profiled in PERF.md's
+    "BA 250k-obs setup anatomy").
     """
     nslots = len(bsr.slot_images)
 

@@ -400,9 +400,7 @@ class CompiledSolver:
         total = jnp.asarray(0.0, self.dtype)
         for gp, c in zip(self.groups, consts):
             g = gp.group
-            if (not g.mslots and not g.con_domains
-                    and all(not s.dep_cons for s in g.uslots)
-                    and not any(g._roll_plan(s) is not None for s in g.uslots)):
+            if g.supports_cm:
                 r = g.residuals_cm(U, inputs, c)
             else:
                 r = g.residuals(U, inputs, c)
