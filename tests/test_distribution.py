@@ -80,6 +80,63 @@ def test_unknown_shards_on_distinct_devices():
 
 
 @needs_devices
+def test_bsr_row_tables_shard_by_row_block():
+    """Graph-group BSR row tables shard along the unknown dim's mesh
+    axis, so the materialized J^T J blocks partition with the unknowns
+    instead of replicating (per-chip memory/bandwidth for graph
+    energies).  Answers must be unchanged."""
+    import thallo_tpu as tl
+    from thallo_tpu.solver.blocksparse import GroupBsr
+
+    src = """
+N, E = Dims("N", "E")
+Inputs(
+    X=Unknown(float2, (N,), 0),
+    A=Array(float2, (N,), 1),
+    v0=Sparse((E,), (N,), 2),
+    v1=Sparse((E,), (N,), 3),
+)
+n, e = N(), E()
+r = Residuals(fit=X(n) - A(n), reg=X(v0(e)) - X(v1(e)))
+r.reg.JtJ.set_materialize(True)
+r.reg.JtJ.set_sparse(True)
+"""
+    rng = np.random.RandomState(3)
+    Nn, Ee = 64, 160  # both divisible by the 8-way mesh
+    v0 = rng.randint(0, Nn, size=Ee).astype(np.int32)
+    v1 = ((v0 + 1 + rng.randint(0, Nn - 1, size=Ee)) % Nn).astype(np.int32)
+    ins = {"X": rng.rand(Nn, 2).astype(np.float32),
+           "A": rng.rand(Nn, 2).astype(np.float32), "v0": v0, "v1": v1}
+
+    def make_plan():
+        spec = tl.load_energy(src)
+        plan = spec.plan({"N": Nn, "E": Ee})
+        plan.set_solver_parameter("nIterations", 5)
+        plan.init({k: np.copy(v) for k, v in ins.items()})
+        return plan
+
+    ref_final = make_plan().solve()
+
+    plan = make_plan()
+    mesh = make_mesh(8, axis_names=("x",))
+    shard_plan_inputs(plan, mesh, dim_axes={"N": "x", "E": "x"})
+    bsrs = [c["bsr"] for c in plan._prep["consts"]
+            if isinstance(c, dict) and isinstance(c.get("bsr"), GroupBsr)]
+    assert bsrs, "no BSR tables found in sharded prep"
+    for bsr in bsrs:
+        for perm in bsr.perms:
+            assert not perm.sharding.is_fully_replicated, perm.sharding
+            shard_shapes = {s.data.shape for s in perm.addressable_shards}
+            assert shard_shapes == {(perm.shape[0] // 8, perm.shape[1])}
+        for c in bsr.cols:
+            assert not c.sharding.is_fully_replicated, c.sharding
+    with mesh:
+        sharded_final = plan.solve()
+    assert np.isclose(ref_final, sharded_final, rtol=1e-3), (
+        ref_final, sharded_final)
+
+
+@needs_devices
 def test_edge_sort_by_owner_answer_invariant():
     from thallo_tpu.models import arap_mesh_deformation as arap
 

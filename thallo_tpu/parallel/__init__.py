@@ -3,6 +3,7 @@ from .mesh import (  # noqa: F401
     compiled_step_hlo,
     distribution_report,
     make_mesh,
+    shard_bsr_tables,
     shard_plan_inputs,
     sort_edges_by_owner,
 )

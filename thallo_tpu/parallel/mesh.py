@@ -44,6 +44,54 @@ def make_mesh(n_devices: Optional[int] = None, axis_names=("x",), shape=None) ->
     return Mesh(np.asarray(devs).reshape(shape), axis_names)
 
 
+def _put(arr, sharding):
+    # multi-controller-safe placement: device_put cannot target
+    # non-addressable devices on a multi-host mesh; the callback form
+    # lets every process materialize only its addressable shards
+    # (each host may also hand in a memory-mapped loader this way)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
+def shard_bsr_tables(bsr, mesh: Mesh, name_axes: Dict[str, str]):
+    """Shard a graph group's degree-padded row tables by row block.
+
+    A row table's first axis enumerates the unknown's elements, so
+    splitting it along the unknown dim's mesh axis makes every
+    downstream [*, N] buffer — the gathered setup payload, the
+    materialized J^T J blocks, the per-step block-matvec accumulator —
+    partition by unknown shard instead of replicating (the dominant
+    per-chip memory + bandwidth term for graph energies).  Column
+    tables are [D, N_row] and shard their last axis the same way.
+    Tables whose unknown dim is unmapped or indivisible stay
+    replicated.  Returns a new GroupBsr with placed arrays."""
+    import dataclasses as _dc
+
+    repl = NamedSharding(mesh, P())
+    perms, masks = [], []
+    table_ax = []
+    for t, (perm, mask) in enumerate(zip(bsr.perms, bsr.masks)):
+        dims = bsr.row_dims[t] if t < len(bsr.row_dims) else ()
+        ax = name_axes.get(dims[0]) if dims else None
+        N = perm.shape[0]
+        if ax is not None and N % mesh.shape[ax] == 0:
+            sh = NamedSharding(mesh, P(ax, None))
+        else:
+            ax, sh = None, repl
+        table_ax.append(ax)
+        perms.append(_put(perm, sh))
+        masks.append(_put(mask, sh))
+    cols = []
+    for ct, c in enumerate(bsr.cols):
+        ax = table_ax[bsr.col_row[ct]] if ct < len(bsr.col_row) else None
+        sh = NamedSharding(mesh, P(None, ax)) if ax is not None else repl
+        cols.append(_put(c, sh))
+    return _dc.replace(bsr, perms=tuple(perms), masks=tuple(masks),
+                       cols=tuple(cols))
+
+
 def shard_plan_inputs(plan, mesh: Mesh, dim_axes: Dict[str, int] = None):
     """Place a plan's bound inputs/unknowns onto the mesh.
 
@@ -60,16 +108,6 @@ def shard_plan_inputs(plan, mesh: Mesh, dim_axes: Dict[str, int] = None):
     dim_axes = {k: mesh.axis_names.index(v) if isinstance(v, str) else v for k, v in dim_axes.items()}
     # re-index to axis names
     name_axes = {k: mesh.axis_names[v] for k, v in dim_axes.items()}
-
-    def _put(arr, sharding):
-        # multi-controller-safe placement: device_put cannot target
-        # non-addressable devices on a multi-host mesh; the callback form
-        # lets every process materialize only its addressable shards
-        # (each host may also hand in a memory-mapped loader this way)
-        arr = np.asarray(arr)
-        return jax.make_array_from_callback(
-            arr.shape, sharding, lambda idx: arr[idx]
-        )
 
     def place_image(im, arr):
         parts = []
@@ -111,10 +149,22 @@ def shard_plan_inputs(plan, mesh: Mesh, dim_axes: Dict[str, int] = None):
     prep = plan.compiled.prepare(old_const)
     repl = NamedSharding(mesh, P())
     # prep trees carry non-array leaves (IndexDomain objects in
-    # bdeps/ideps for contraction-dependent bounds) — place only arrays
+    # bdeps/ideps for contraction-dependent bounds) — place only arrays.
+    # Graph-group BSR row tables shard by row block (their downstream
+    # J^T J blocks then partition with the unknowns); everything else
+    # replicates.
+    from ..solver.blocksparse import GroupBsr
+
+    def _place_prep(x):
+        if isinstance(x, GroupBsr):
+            return shard_bsr_tables(x, mesh, name_axes)
+        if isinstance(x, (np.ndarray, jax.Array)):
+            return _put(x, repl)
+        return x
+
     plan._prep = jax.tree_util.tree_map(
-        lambda x: _put(x, repl) if isinstance(x, (np.ndarray, jax.Array)) else x,
-        prep,
+        _place_prep, prep,
+        is_leaf=lambda x: isinstance(x, GroupBsr),
     )
     new_inputs = {}
     for k, v in plan._inputs.items():

@@ -55,19 +55,23 @@ class GroupBsr:
     slot_images: Tuple[str, ...]         # slot i -> image name
     slot_channels: Tuple[int, ...]       # slot i -> channel count
     image_shapes: dict                   # image name -> full array shape
+    row_dims: Tuple[Tuple[str, ...], ...] = ()  # row table -> image dim names
+    col_row: Tuple[int, ...] = ()        # col table -> owning row table
 
     def tree_flatten(self):
         children = (self.perms, self.masks, self.cols)
         aux = (self.slot_row, self.pairs, self.col_gathers, self.slot_images,
-               tuple(self.slot_channels), tuple(sorted(self.image_shapes.items())))
+               tuple(self.slot_channels), tuple(sorted(self.image_shapes.items())),
+               self.row_dims, self.col_row)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         perms, masks, cols = children
-        slot_row, pairs, col_gathers, slot_images, slot_channels, shapes = aux
+        (slot_row, pairs, col_gathers, slot_images, slot_channels, shapes,
+         row_dims, col_row) = aux
         return cls(perms, masks, cols, slot_row, pairs, col_gathers,
-                   slot_images, slot_channels, dict(shapes))
+                   slot_images, slot_channels, dict(shapes), row_dims, col_row)
 
 
 def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
@@ -129,7 +133,8 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
         padded_total += N * D
         key_to_row[key] = len(row_tables)
         row_key_of_slot.append(len(row_tables))
-        row_tables.append({"perm": perm, "mask": mask, "idx": idx, "N": N, "D": D})
+        row_tables.append({"perm": perm, "mask": mask, "idx": idx, "N": N, "D": D,
+                           "dims": tuple(d.name for d in s.image.dims)})
     if padded_total > max_waste * R * len(row_tables) + max_pad_extra:
         return None
 
@@ -140,6 +145,7 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
     # P(v1)xA(v0) both use v0-through-perm_v1 indices).
     pairs: List[tuple] = []
     col_tables: List[np.ndarray] = []
+    col_row_of: List[int] = []
     col_key: Dict[tuple, int] = {}
     gathers: List[tuple] = []
     gather_key: Dict[tuple, int] = {}
@@ -160,6 +166,7 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
                 colt = idxs[j][rt["perm"]].astype(np.int32)
                 col_key[ck] = len(col_tables)
                 col_tables.append(np.ascontiguousarray(colt.T))
+                col_row_of.append(t)
             gk = (col_key[ck], sj.image.name)
             if gk not in gather_key:
                 gather_key[gk] = len(gathers)
@@ -180,6 +187,8 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
         slot_images=tuple(s.image.name for s in jslots),
         slot_channels=tuple(s.image.channels for s in jslots),
         image_shapes=shapes,
+        row_dims=tuple(rt["dims"] for rt in row_tables),
+        col_row=tuple(col_row_of),
     )
 
 
