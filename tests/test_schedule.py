@@ -202,6 +202,47 @@ def test_reorder_is_real_and_answer_invariant():
         rtol=1e-4)
 
 
+def test_measured_reorder_feeds_heuristic(tmp_path):
+    """A recorded faster non-default domain order (keyed as autotune
+    writes it over the exhaustive order enumeration) makes the heuristic
+    rebuild the group with that order — the reorder slot of the cost
+    model driven by measurements (ROADMAP: reorder cost fed back)."""
+    import json
+    import os
+
+    from thallo_tpu.schedule import group_measure_key
+
+    os.environ["THALLO_MEASUREMENTS"] = str(tmp_path / "m.json")
+    try:
+        spec = tl.load_energy(LAPLACIAN)
+        plan = spec.plan({"W": 10, "H": 10}, use_autoscheduler=1)
+        ref = _solve(plan, _inputs(10))
+        data = {}
+        for gp in plan.compiled.groups:
+            doms = list(gp.group.ext_domains)
+            assert len(doms) == 2
+            # default order measured; reversed order measured FASTER
+            data[group_measure_key(gp, gp.schedule)] = 0.010
+            data[group_measure_key(gp, gp.schedule,
+                                   order=[doms[1], doms[0]])] = 0.005
+        (tmp_path / "m.json").write_text(json.dumps(data))
+
+        spec2 = tl.load_energy(LAPLACIAN)
+        plan2 = spec2.plan({"W": 10, "H": 10}, use_autoscheduler=1)
+        orders = [[d.dim.name for d in g.group.ext_domains]
+                  for g in plan2.compiled.groups]
+        assert all(o[0] == "H" for o in orders), orders
+        assert all(g.group.reordered for g in plan2.compiled.groups)
+        np.testing.assert_allclose(_solve(plan2, _inputs(10)), ref, rtol=1e-3)
+
+        # keys a third plan would record under the reorder stay stable
+        # across spec reloads (uids differ; labels must not)
+        for gp2, gp in zip(plan2.compiled.groups, plan.compiled.groups):
+            assert group_measure_key(gp2, gp.schedule) in data
+    finally:
+        del os.environ["THALLO_MEASUREMENTS"]
+
+
 def test_exhaustive_enumerates_domain_orders():
     """The exhaustive space includes domain permutations (reference
     generate_all_schedules, thallo.t:4318-4482): some candidate index

@@ -372,6 +372,7 @@ class LoweredGroup:
         col.finalize()
         self.col = col
         self.ext_domains = list(col.ext_domains)
+        _discovery_order = tuple(self.ext_domains)
         if domain_order:
             # user/autoscheduler reorder directive (reference
             # thallo.t:5665): permute the external iteration order.  The
@@ -384,6 +385,8 @@ class LoweredGroup:
             self.ext_domains = want + [d for d in self.ext_domains
                                        if d not in want]
         self.domain_order = tuple(self.ext_domains)
+        # non-default order => measurements key separately (schedule.py)
+        self.reordered = self.domain_order != _discovery_order
         self.con_domains = col.con_domains
         both = set(self.ext_domains) & set(self.con_domains)
         if both:

@@ -129,7 +129,18 @@ class Plan:
             groups = self._build_groups(spec, auto, merge_all=True)
             log.append(f"({len(groups)} groups)")
             lin_hint = int(options.get("lin_iter_hint", SOLVER_PARAMETER_DEFAULTS["lIterations"]))
-            for gp, s in zip(groups, heuristic_schedule(groups, lin_hint, log=log)):
+            schedules = heuristic_schedule(groups, lin_hint, log=log)
+            # measured-feedback reorder: if autotune recorded a faster
+            # non-default external-domain order for a group's chosen
+            # schedule, rebuild with it (reference reorder_for_coherence
+            # slot, thallo.t:5308-5325, driven by data)
+            from .schedule import select_measured_domain_orders
+
+            dorders = select_measured_domain_orders(groups, schedules, log=log)
+            if any(o is not None for o in dorders):
+                groups = self._build_groups(spec, auto, merge_all=True,
+                                            domain_orders=dorders)
+            for gp, s in zip(groups, schedules):
                 gp.schedule = s
             self._log_schedules(log)
         elif auto >= 3:

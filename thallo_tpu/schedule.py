@@ -24,7 +24,7 @@ model swapped for TPU.
 from __future__ import annotations
 
 import itertools
-from typing import List
+from typing import Dict, List
 
 import numpy as np
 
@@ -252,17 +252,80 @@ def measurements_path():
     return os.environ.get("THALLO_MEASUREMENTS", "schedule_measurements.json")
 
 
-def group_measure_key(gp, schedule) -> str:
+def group_measure_key(gp, schedule, order=None) -> str:
     """Stable key for measured schedule timings: group shape + slots +
     schedule (machine-model-free — measurements beat estimates,
-    ROADMAP #8)."""
+    ROADMAP #8).  A non-default external-domain order adds an `_ord`
+    suffix so reordered candidates measure separately; pass `order` to
+    build the key a hypothetical reorder WOULD measure under."""
     g = gp.group
     slots = ",".join(
         f"{s.image.channels}ch{'x' + str(len(s.dep_cons)) if s.dep_cons else ''}"
         f"{'roll' if g._roll_plan(s) is not None else 'gather'}"
         for s in g.uslots
     )
-    return f"R{g.R}_rc{g.rc}_[{slots}]_{schedule.value}"
+    key = f"R{g.R}_rc{g.rc}_[{slots}]"
+    if order is None and getattr(g, "reordered", False):
+        order = g.domain_order
+    if order is not None:
+        key += "_ord" + ">".join(_domain_labels(order))
+    return f"{key}_{schedule.value}"
+
+
+def _domain_labels(doms):
+    """Stable labels for an external-domain ordering: Dim names (domain
+    .name embeds a process-global uid — unstable across runs), with an
+    occurrence rank appended when one Dim appears twice (cross-product
+    energies); rank = position in declaration (uid) order, which source
+    order fixes."""
+    by_dim: Dict[str, list] = {}
+    for d in doms:
+        by_dim.setdefault(d.dim.name, []).append(d)
+    labels = []
+    for d in doms:
+        same = by_dim[d.dim.name]
+        if len(same) == 1:
+            labels.append(d.dim.name)
+        else:
+            rank = sorted(same, key=lambda x: x.uid).index(d)
+            labels.append(f"{d.dim.name}#{rank}")
+    return labels
+
+
+def select_measured_domain_orders(groups, schedules, log=None):
+    """Measured-feedback reorder selection for the heuristic: per group,
+    the external-domain order whose recorded timing (written by
+    autotune.autoschedule_search over the exhaustive order enumeration)
+    beats the default order's, or None to keep discovery order.  This is
+    the reference's reorder_for_coherence slot (thallo.t:5308-5325)
+    driven by data instead of an analytic warp-coherence score — the
+    analytic model has no reorder term on TPU (XLA owns loop order; the
+    order only picks the row-major flattening), so measurements are the
+    only honest signal."""
+    measured = load_measurements()
+    out = []
+    for gp, sched in zip(groups, schedules):
+        g = gp.group
+        doms = list(g.ext_domains)
+        choice = None
+        if 2 <= len(doms) <= 3 and not getattr(g, "reordered", False):
+            base = measured.get(group_measure_key(gp, sched))
+            best_t = base
+            for p in itertools.permutations(doms):
+                if list(p) == doms:
+                    continue
+                t = measured.get(group_measure_key(gp, sched, order=p))
+                if t is not None and (best_t is None or t < best_t):
+                    choice, best_t = list(p), t
+            if log is not None and choice is not None:
+                log.append(
+                    f"  {gp.name}: measured reorder "
+                    + ">".join(_domain_labels(choice))
+                    + f" {best_t * 1e3:.3f}ms beats default"
+                    + (f" {base * 1e3:.3f}ms" if base is not None else " (unmeasured)")
+                )
+        out.append(choice)
+    return out
 
 
 def load_measurements():
