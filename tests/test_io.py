@@ -142,3 +142,45 @@ def test_pnm_fallback_paths(tmp_path):
     p = str(tmp_path / "x.pgm")
     _save_pnm(p, a)
     assert (_load_pnm(p) == a).all()
+
+
+# ---- committed sample data (examples/data, scripts/make_sample_data.py) --
+
+
+def _data(name):
+    import os
+
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "examples", "data", name)
+
+
+def test_committed_bal_sample_solves():
+    loaded, sizes = bal_to_inputs(_data("sample_scene.bal.txt"))
+    assert sizes == {"C": 10, "P": 256, "O": 2560}
+    spec = ba.make_spec()
+    plan = spec.plan(sizes, solver="levenberg_marquardt")
+    plan.set_solver_parameter("nIterations", 5)
+    plan.set_solver_parameter("lIterations", 10)
+    c0 = plan.init(loaded)
+    final = plan.solve()
+    assert final < c0, (c0, final)
+
+
+def test_committed_ply_sample_solves():
+    from thallo_tpu.io import load_ply, mesh_to_arap_inputs
+    from thallo_tpu.models import arap_mesh_deformation as arap
+
+    verts, faces, _ = load_ply(_data("sample_mesh.ply"))
+    assert len(verts) == 1024 and len(faces) == 1922
+    # pull one corner up, pin the opposite one (a real deformation —
+    # unconstrained ARAP is trivially zero-cost at init)
+    pull = {0: verts[0] + np.array([0, 0, 0.5], np.float32),
+            len(verts) - 1: verts[-1]}
+    inputs, sizes = mesh_to_arap_inputs(verts, faces, constraints=pull)
+    spec = arap.make_spec()
+    plan = spec.plan(sizes)
+    plan.set_solver_parameter("nIterations", 4)
+    plan.set_solver_parameter("lIterations", 10)
+    c0 = plan.init(inputs)
+    final = plan.solve()
+    assert 0 < final < 0.5 * c0, (c0, final)
