@@ -1,0 +1,90 @@
+"""Schur-complement reduced linear solve (linear_solver="schur_pcg") —
+beyond the reference (the Ceres ITERATIVE_SCHUR idea): eliminate the
+block-diagonal unknown (BA points) and run PCG on the reduced camera
+system, which is smaller and far better conditioned."""
+import numpy as np
+import pytest
+
+from thallo_tpu.models import bundle_adjustment as ba
+
+
+def _ba(n_cameras=4, n_points=48, obs_per_point=3, seed=1):
+    ins, meta = ba.synthetic_inputs(n_cameras=n_cameras, n_points=n_points,
+                                    obs_per_point=obs_per_point, seed=seed)
+    sizes = {"C": n_cameras, "P": n_points, "O": meta["n_obs"]}
+    return ins, sizes
+
+
+def _plan(sizes, solver="levenberg_marquardt", n_iter=10, l_iter=25, **opts):
+    spec = ba.make_spec()
+    nr = spec.energy.snavely_reprojection_error
+    nr.JtJ.set_materialize(True)
+    nr.JtJ.set_sparse(True)  # tiny test sizes are below the BSR threshold
+    plan = spec.plan(sizes, solver=solver, **opts)
+    plan.set_solver_parameter("nIterations", n_iter)
+    plan.set_solver_parameter("lIterations", l_iter)
+    return plan
+
+
+def _solve(plan, ins):
+    c0 = plan.init({k: np.copy(v) for k, v in ins.items()})
+    return c0, plan.solve()
+
+
+def test_schur_matches_pcg_final_cost():
+    ins, sizes = _ba()
+    c0, f_pcg = _solve(_plan(sizes), ins)
+    _, f_schur = _solve(_plan(sizes, linear_solver="schur_pcg"), ins)
+    assert f_schur < 1e-2 * c0
+    assert np.isclose(f_pcg, f_schur, rtol=0.05), (f_pcg, f_schur)
+    # the auto-pick (largest eligible image = points) is exactly the
+    # explicit elimination
+    _, f_explicit = _solve(
+        _plan(sizes, linear_solver="schur_pcg", schur_eliminate=["points"]), ins)
+    assert f_schur == f_explicit
+
+
+def test_schur_conditioning_advantage():
+    """At a small linear-iteration budget the reduced system converges
+    far further than full-system PCG per outer iteration."""
+    ins, sizes = _ba(n_cameras=6, n_points=200, obs_per_point=4, seed=2)
+    _, fp = _solve(_plan(sizes, n_iter=6, l_iter=3), ins)
+    _, fs = _solve(_plan(sizes, n_iter=6, l_iter=3,
+                         linear_solver="schur_pcg"), ins)
+    assert fs < 0.5 * fp, (fp, fs)
+
+
+def test_schur_gauss_newton():
+    ins, sizes = _ba()
+    c0, f = _solve(_plan(sizes, solver="gauss_newton", n_iter=8,
+                         linear_solver="schur_pcg"), ins)
+    assert f < 1e-2 * c0
+
+
+def test_schur_rejects_coupled_elimination():
+    ins, sizes = _ba()
+    plan = _plan(sizes, linear_solver="schur_pcg",
+                 schur_eliminate=["points", "cameras"])
+    plan.init({k: np.copy(v) for k, v in ins.items()})
+    with pytest.raises(ValueError, match="couple to each other"):
+        plan.step()
+
+
+def test_schur_rejects_ineligible_workload():
+    """A stencil energy has no block-diagonal-eliminable unknown."""
+    import thallo_tpu as tl
+
+    src = """
+W, H = Dims("W", "H")
+Inputs(X=Unknown(float, (W, H), 0), A=Array(float, (W, H), 1))
+x, y = W(), H()
+r = Residuals(fit=X(x, y) - A(x, y),
+              reg=Select(InBounds(x + 1, y), X(x, y) - X(x + 1, y), 0))
+"""
+    spec = tl.load_energy(src)
+    plan = spec.plan({"W": 8, "H": 8}, linear_solver="schur_pcg")
+    rng = np.random.RandomState(0)
+    t = rng.rand(8, 8).astype(np.float32)
+    plan.init({"X": t.copy(), "A": t})
+    with pytest.raises(ValueError, match="no eliminable unknown"):
+        plan.step()

@@ -100,14 +100,14 @@ class Plan:
         # exauto_index loop, thallo.t:5427-5530)
         _known = {"use_autoscheduler", "lin_iter_hint", "solver_parameters",
                   "timing_level", "verbosity", "guarded_invert_type",
-                  "jacobi_scaling", "linear_solver", "trace_dir",
+                  "jacobi_scaling", "linear_solver", "schur_eliminate", "trace_dir",
                   "profile_compile", "debug_check_finite", "block_dtype",
                   "steps_per_dispatch", "preconditioner"}
         bad = set(options) - _known
         if bad:
             raise ValueError(f"unknown plan option(s): {sorted(bad)}")
-        if options.get("linear_solver", "pcg") not in ("pcg", "direct"):
-            raise ValueError("linear_solver must be 'pcg' or 'direct'")
+        if options.get("linear_solver", "pcg") not in ("pcg", "direct", "schur_pcg"):
+            raise ValueError("linear_solver must be 'pcg', 'direct' or 'schur_pcg'")
         if options.get("guarded_invert_type", "CERES") not in (
                 "CERES", "MODIFIED_CERES", "EPSILON_ADD"):
             raise ValueError("invalid guarded_invert_type")

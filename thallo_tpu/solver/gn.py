@@ -211,6 +211,16 @@ class CompiledSolver:
         # (reference enable_direct_solve / cublasDirectSolve,
         # gauss_newton.t:22,1280-1328)
         self.direct_solve = bool(options.get("linear_solver", "pcg") == "direct")
+        # Schur-complement reduced solve (BEYOND the reference; the
+        # Ceres ITERATIVE_SCHUR idea): eliminate an unknown image whose
+        # J^T J self-coupling is exactly block-diagonal (BA points: each
+        # observation touches one point) and run PCG on the reduced
+        # keep-system S = A_kk - A_ke A_ee^-1 A_ek, which is smaller and
+        # far better conditioned.  Opt in with linear_solver="schur_pcg";
+        # schur_eliminate names the image(s), default = auto-pick.
+        self.schur = bool(options.get("linear_solver", "pcg") == "schur_pcg")
+        se = options.get("schur_eliminate")
+        self.schur_eliminate = list(se) if se else None
         # bf16 block-sparse JtJ storage (dots/preconditioner stay f32):
         # halves the dominant per-PCG-step HBM read for graph energies
         bd = options.get("block_dtype")
@@ -788,6 +798,7 @@ class CompiledSolver:
             "pre_block": pre_block,
             "CtC": CtC,
             "ssq": ssq,
+            "rawdiag": rawdiag,
         }
 
     # -- block-Jacobi preconditioner (beyond the reference) -----------------
@@ -800,8 +811,14 @@ class CompiledSolver:
         matches scalar Jacobi when the blocks vanish.  Damping mirrors the
         scalar path exactly: LM adds diag(CtC); GN applies the CERES
         guarded transform d -> (1+sqrt(d))^2 to the diagonal entries."""
-        dtype = self.dtype
-        B = {}  # image name -> [C*C, N] channel-major block sums
+        B = self._diag_pair_blocks(consts, jac_store)
+        return self._invert_damped_blocks(B, rawdiag, CtC, guard_gn=True)
+
+    def _diag_pair_blocks(self, consts, jac_store, names=None):
+        """Sum the block-sparse setup's pre-aggregated diag-pair blocks
+        per unknown image: the exact block diagonal of the BSR groups'
+        J^T J, channel-major [C*C, N]."""
+        B = {}
         for gi, gp in enumerate(self.groups):
             entry = jac_store.get(str(gi))
             if not entry or "bsr" not in entry:
@@ -817,8 +834,19 @@ class CompiledSolver:
                 name = bsr.slot_images[i]
                 if bsr.slot_images[j] != name:
                     continue  # cross-image aliasing: off the block diagonal
-                blk = entry["bsr"][p_idx].astype(dtype)  # [Ci*Cj, N]
+                if names is not None and name not in names:
+                    continue
+                blk = entry["bsr"][p_idx].astype(self.dtype)  # [Ci*Cj, N]
                 B[name] = B.get(name, 0) + blk
+        return B
+
+    def _invert_damped_blocks(self, B, rawdiag, CtC, guard_gn):
+        """Invert per-element CxC blocks after damping their diagonals:
+        LM adds diag(CtC) (exact damped blocks — also what the Schur
+        elimination needs); GN either applies the CERES guarded transform
+        (guard_gn=True: preconditioning) or inverts plainly (guard_gn=
+        False: exact elimination, blocks must be nonsingular)."""
+        dtype = self.dtype
         out = {}
         for name, blk in B.items():
             C = int(round(blk.shape[0] ** 0.5))
@@ -830,9 +858,11 @@ class CompiledSolver:
             if self.uses_lambda:
                 damp = CtC[name].reshape(N, C).T.astype(dtype)
                 new_diag = bdiag + extra + damp
-            else:
+            elif guard_gn:
                 d = bdiag + extra
                 new_diag = jnp.square(1.0 + jnp.sqrt(jnp.maximum(d, 0.0)))
+            else:
+                new_diag = bdiag + extra
             M = blk.at[diag_ix].set(new_diag)  # [C*C, N]
             if C <= 3:
                 # closed-form adjugate inverse on the channel-major rows:
@@ -845,6 +875,15 @@ class CompiledSolver:
                 out[name] = jnp.transpose(Minv, (1, 2, 0)).reshape(C * C, N)
         return out
 
+    @staticmethod
+    def _block_apply(pb, v):
+        """y = B v per element: pb [C*C, N] channel-major block rows,
+        v image-shaped [..., C]."""
+        C = v.shape[-1]
+        rT = v.reshape(-1, C).T  # [C, N]
+        zT = jnp.sum(pb.reshape(C, C, -1) * rT[None, :, :], axis=1)
+        return zT.T.reshape(v.shape)
+
     def precond_apply(self, state, r):
         """z = M^-1 r: elementwise for scalar Jacobi, a batched channel-
         major block matvec for block-Jacobi unknowns."""
@@ -854,15 +893,163 @@ class CompiledSolver:
         out = {}
         for k, v in r.items():
             pb = pre_block.get(k)
-            if pb is None:
-                out[k] = state["pre"][k] * v
-                continue
-            C = v.shape[-1]
-            rT = v.reshape(-1, C).T  # [C, N]
-            Bm = pb.reshape(C, C, -1)
-            zT = jnp.sum(Bm * rT[None, :, :], axis=1)  # [C, N]
-            out[k] = zT.T.reshape(v.shape)
+            out[k] = state["pre"][k] * v if pb is None else self._block_apply(pb, v)
         return out
+
+    # -- Schur-complement reduced solve (beyond the reference) ---------------
+    def _schur_partition(self, consts, jac_store):
+        """(keep, elim) unknown-image names for linear_solver="schur_pcg",
+        validated at trace time: an eliminated image's J^T J self-coupling
+        must be EXACTLY block-diagonal — every group referencing it runs
+        the block-sparse path with all its self-pairs 'diag' (BA points:
+        each observation touches one point) — and eliminated images must
+        not couple to each other.  schur_eliminate overrides the default
+        pick (the eligible image with the most elements)."""
+        elements = {im.name: int(np.prod([d.size for d in im.dims]))
+                    for im in self.spec.unknowns}
+        touched_non_bsr = set()
+        self_offdiag = set()
+        cross = {}
+        has_diag_blocks = set()
+        for gi, gp in enumerate(self.groups):
+            g = gp.jac_group()
+            if not g.jac_slots:
+                continue
+            entry = jac_store.get(str(gi))
+            c = consts[gi]
+            bsr = c.get("bsr") if isinstance(c, dict) else None
+            if entry is not None and "bsr" in entry and bsr is not None:
+                for pr in bsr.pairs:
+                    a, b = bsr.slot_images[pr[0]], bsr.slot_images[pr[1]]
+                    if a == b:
+                        if pr[2] == "diag":
+                            has_diag_blocks.add(a)
+                        else:
+                            self_offdiag.add(a)
+                    else:
+                        cross.setdefault(a, set()).add(b)
+            else:
+                touched_non_bsr.update(s.image.name for s in g.jac_slots)
+        eligible = [n for n in elements
+                    if n in has_diag_blocks
+                    and n not in self_offdiag and n not in touched_non_bsr]
+        if self.schur_eliminate is not None:
+            elim = list(self.schur_eliminate)
+            bad = [n for n in elim if n not in eligible]
+            if bad:
+                raise ValueError(
+                    f"schur_eliminate images {bad} are not block-diagonal-"
+                    f"eliminable (eligible: {eligible}); each must be "
+                    "referenced only by block-sparse groups with purely "
+                    "diagonal self-coupling")
+        else:
+            if not eligible:
+                raise ValueError(
+                    "linear_solver='schur_pcg' found no eliminable unknown "
+                    "image (needs a graph unknown whose J^T J self-coupling "
+                    "is block-diagonal, e.g. BA points)")
+            elim = [max(eligible, key=lambda n: elements[n])]
+        for a in elim:
+            coupled = cross.get(a, set()) & set(elim)
+            if coupled:
+                raise ValueError(
+                    f"schur_eliminate images couple to each other: {a} <-> "
+                    f"{sorted(coupled)}; the eliminated block must stay "
+                    "block-diagonal")
+        keep = [n for n in elements if n not in elim]
+        if not keep:
+            raise ValueError("schur_pcg must keep at least one unknown image")
+        return keep, elim
+
+    def _linear_solve_schur(self, state, sp, damped, safe_div, consts):
+        """PCG on the reduced keep-system S = A_kk - A_ke A_ee^-1 A_ek
+        (A = damped J^T J), then back-substitution for the eliminated
+        unknowns.  Implicit: each S matvec is two full damped applies
+        plus a block-diagonal inverse — no Schur matrix is formed.  The
+        reduced system is smaller (BA: cameras only) and dramatically
+        better conditioned than the full normal equations (the Ceres
+        ITERATIVE_SCHUR design; the reference has no analog)."""
+        dtype = self.dtype
+        jac_store = state["jac_store"]
+        keep, elim = self._schur_partition(consts, jac_store)
+        Einv = self._invert_damped_blocks(
+            self._diag_pair_blocks(consts, jac_store, names=set(elim)),
+            state["rawdiag"], state["CtC"], guard_gn=False)
+
+        zeros = tree_zeros_like(state["r0"])
+
+        def pad(part):
+            return {k: part.get(k, zeros[k]) for k in zeros}
+
+        def einv(ve):
+            return {k: self._block_apply(Einv[k], v) for k, v in ve.items()}
+
+        def keep_of(t):
+            return {k: t[k] for k in keep}
+
+        def elim_of(t):
+            return {k: t[k] for k in elim}
+
+        bfull = state["r0"]
+        # reduced RHS: b_k - A_ke A_ee^-1 b_e
+        v = damped(pad(einv(elim_of(bfull))))
+        b = tree_sub(keep_of(bfull), keep_of(v))
+
+        def S_apply(xk):
+            t = damped(pad(xk))
+            w = damped(pad(einv(elim_of(t))))
+            return tree_sub(keep_of(t), keep_of(w))
+
+        red_state = {
+            "pre": keep_of(state["pre"]),
+            "pre_block": {k: pb for k, pb in (state.get("pre_block") or {}).items()
+                          if k in keep},
+        }
+        r0 = b
+        p0 = self.precond_apply(red_state, r0)
+        alpha_num0 = tree_dot(r0, p0)
+        delta0 = tree_zeros_like(r0)
+        Q0 = jnp.asarray(0.0, dtype)
+
+        def cond_fn(st):
+            i, _, _, _, _, _, stop = st
+            return (i < sp.lIterations) & (~stop)
+
+        def body_fn(st):
+            i, delta, r, p, alpha_num, Q0v, stop = st
+            Ap = S_apply(p)
+            alpha = safe_div(alpha_num, tree_dot(p, Ap))
+            delta = tree_axpy(alpha, p, delta)
+            if self.uses_lambda:
+                do_reset = ((i + 1) % sp.residual_reset_period) == 0
+                r = jax.lax.cond(
+                    do_reset,
+                    lambda _: tree_sub(b, S_apply(delta)),
+                    lambda _: tree_axpy(-alpha, Ap, r),
+                    None,
+                )
+            else:
+                r = tree_axpy(-alpha, Ap, r)
+            z = self.precond_apply(red_state, r)
+            beta_num = tree_dot(z, r)
+            if self.uses_lambda:
+                Q1 = 0.5 * tree_dot(delta, tree_add(r, b))
+                zeta = (i + 1).astype(dtype) * (Q1 - Q0v) / Q1
+                stop_q = (~jnp.isfinite(Q1)) | (~jnp.isfinite(zeta)) | (zeta < sp.q_tolerance)
+            else:
+                Q1 = Q0v
+                stop_q = jnp.asarray(False)
+            beta = safe_div(beta_num, alpha_num)
+            p = tree_add(z, tree_scale(p, beta))
+            return (i + 1, delta, r, p, beta_num, Q1, stop_q)
+
+        init = (jnp.asarray(0, jnp.int32), delta0, r0, p0, alpha_num0, Q0,
+                jnp.asarray(False))
+        _, delta_k, _, _, _, _, _ = jax.lax.while_loop(cond_fn, body_fn, init)
+        # back-substitution: delta_e = A_ee^-1 (b_e - A_ek delta_k)
+        w = damped(pad(delta_k))
+        delta_e = einv({k: bfull[k] - w[k] for k in elim})
+        return pad({**delta_k, **delta_e})
 
     def linear_solve(self, U, state, inputs, sp: SolverParams, prep=None):
         """Phase 2: the full PCG inner loop (or dense direct solve) ->
@@ -894,6 +1081,10 @@ class CompiledSolver:
             if self.uses_lambda:
                 return num / den
             return jnp.where(den != 0.0, num / jnp.where(den != 0.0, den, 1.0), 0.0)
+
+        if self.schur:
+            delta = self._linear_solve_schur(state, sp, damped, safe_div, consts)
+            return tree_mul(delta, self._bmask(masks))
 
         if self.direct_solve:
             # dense LU solve of (J^T J + CtC) delta = -J^T r (reference
