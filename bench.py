@@ -78,6 +78,57 @@ def bench_image_warping(W=512, H=512, n_steps=32, l_iters=16):
     return iters_per_s, tt, converged
 
 
+def _cold_restart(plan, c0):
+    plan.reset_unknowns()
+    plan._iter = 0
+    plan._finished = False
+    plan._lm = plan._lm._replace(
+        trust_region_radius=jax.numpy.asarray(
+            plan.solver_parameters["trust_region_radius"], plan.dtype),
+        prev_cost=jax.numpy.asarray(c0, plan.dtype),
+        n_iter=jax.numpy.asarray(0, jax.numpy.int32),
+        finished=jax.numpy.asarray(False),
+    )
+
+
+def bench_ba_time_to_target(n_cameras, n_points, obs_per_point=4,
+                            l_iters=16, **plan_opts):
+    """Time-to-target only, for solver-variant comparisons (e.g.
+    linear_solver=\"schur_pcg\": the reduced camera system needs far
+    fewer linear iterations per outer step, at two matvecs each — the
+    time-to-target metric is the honest basis of comparison, not
+    per-PCG-iteration throughput, which means different work under
+    different linear solvers)."""
+    from thallo_tpu.models import bundle_adjustment as ba
+
+    inputs, _ = ba.synthetic_inputs(
+        n_cameras=n_cameras, n_points=n_points, obs_per_point=obs_per_point)
+    O = len(inputs["oToC"])
+    spec = ba.make_spec()
+    plan = spec.plan({"C": n_cameras, "P": n_points, "O": O},
+                     solver="levenberg_marquardt", **plan_opts)
+    plan.set_solver_parameter("nIterations", 10_000)
+    plan.set_solver_parameter("lIterations", l_iters)
+    plan.set_solver_parameter("q_tolerance", 0.0)
+    plan.set_solver_parameter("function_tolerance", 0.0)
+    c0 = plan.init(inputs)
+    plan.run_steps(25)
+    converged = plan.cost()
+    target = c0 - 0.95 * (c0 - converged)
+    _cold_restart(plan, c0)
+    plan.step()  # warm the single-step executable
+    _cold_restart(plan, c0)
+    t0 = time.perf_counter()
+    tt = float("inf")
+    for _ in range(25):
+        if not plan.step():
+            break
+        if plan.cost() <= target:
+            tt = time.perf_counter() - t0
+            break
+    return tt, converged
+
+
 def bench_bundle_adjustment(n_cameras, n_points, obs_per_point=4, n_steps=16,
                             l_iters=16, scan_k=8, reps=2):
     """The second north-star workload (BASELINE.json): Snavely BA."""
@@ -134,16 +185,7 @@ def bench_bundle_adjustment(n_cameras, n_points, obs_per_point=4, n_steps=16,
     target = c0 - 0.95 * (c0 - converged)
 
     def cold_restart():
-        plan.reset_unknowns()
-        plan._iter = 0
-        plan._finished = False
-        plan._lm = plan._lm._replace(
-            trust_region_radius=jax.numpy.asarray(
-                plan.solver_parameters["trust_region_radius"], plan.dtype),
-            prev_cost=jax.numpy.asarray(c0, plan.dtype),
-            n_iter=jax.numpy.asarray(0, jax.numpy.int32),
-            finished=jax.numpy.asarray(False),
-        )
+        _cold_restart(plan, c0)
 
     cold_restart()
     plan.step()  # warm the single-step executable: compile happens at
@@ -256,6 +298,19 @@ def main():
             extra[f"{name}_observations"] = n_obs
         except Exception as e:  # noqa: BLE001
             extra[f"{name}_error"] = str(e)[:120]
+    # Schur-complement variant: time-to-target on the same scenes
+    # (throughput in PCG iters/s is not comparable — a reduced-system
+    # iteration is different work)
+    for name, kw in (
+        ("bundle_adjustment_32k", dict(n_cameras=64, n_points=8192)),
+        ("bundle_adjustment_250k", dict(n_cameras=256, n_points=62500)),
+    ):
+        try:
+            tt, _ = bench_ba_time_to_target(
+                linear_solver="schur_pcg", **kw)
+            extra[f"{name}_schur_time_to_target_s"] = round(tt, 4)
+        except Exception as e:  # noqa: BLE001
+            extra[f"{name}_schur_error"] = str(e)[:120]
     try:
         ms, E, ips = bench_arap_marginal()
         extra["arap_261k_marginal_pcg_iter_ms"] = round(ms, 3)

@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--points", type=int, default=512)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--liters", type=int, default=30)
+    ap.add_argument("--schur", action="store_true",
+                    help="Schur-complement reduced solve (eliminate "
+                         "points, PCG on the camera system)")
     ap.add_argument("--out", default="results/bundle_adjustment")
     args = ap.parse_args()
 
@@ -44,6 +47,7 @@ def main():
         nonlinear_iters=args.iters,
         linear_iters=args.liters,
         out_dir=args.out,
+        plan_options=({"linear_solver": "schur_pcg"} if args.schur else None),
     )
     for solver, r in results.items():
         print(f"{solver}: {r['initial_cost']:.6f} -> {r['final_cost']:.8f} "

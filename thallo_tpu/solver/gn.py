@@ -366,7 +366,9 @@ class CompiledSolver:
             JTJpSchedule.PRECOMPUTE_JTJ, JTJpSchedule.PRECOMPUTE_J_THEN_JTJ
         ):
             return False
-        if gp.force_sparse:
+        if gp.force_sparse or self.schur:
+            # schur_pcg eliminates through the BSR diag-pair blocks, so
+            # the sparse tables are required below the dense threshold too
             return True
         _, total = self.unknown_layout()
         return total > DENSE_JTJ_MAX_UNKNOWNS

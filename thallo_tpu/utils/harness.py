@@ -22,13 +22,14 @@ def run_solvers(
     linear_iters: int = 10,
     out_dir: Optional[str] = None,
     solver_parameters: Optional[dict] = None,
+    plan_options: Optional[dict] = None,
 ):
     """Returns {solver: {"final_cost", "iter_costs", "perf"}}; writes
     finalCosts.json / perf.json when out_dir is given."""
     results = {}
     for solver in solvers:
         spec = spec_factory()
-        plan = spec.plan(dim_sizes, solver=solver)
+        plan = spec.plan(dim_sizes, solver=solver, **(plan_options or {}))
         plan.set_solver_parameter("nIterations", nonlinear_iters)
         plan.set_solver_parameter("lIterations", linear_iters)
         for k, v in (solver_parameters or {}).items():
