@@ -61,6 +61,27 @@ def test_schur_gauss_newton():
     assert f < 1e-2 * c0
 
 
+def test_schur_sharded_matches_single_device():
+    """The Schur path composes with mesh sharding: the reduced solve
+    runs over sharded blocks/tables with an unchanged answer."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (CPU mesh)")
+    from thallo_tpu.parallel import make_mesh, shard_plan_inputs
+
+    ins, sizes = _ba(n_cameras=8, n_points=64, obs_per_point=4, seed=3)
+    ref = _solve(_plan(sizes, n_iter=8, l_iter=15,
+                       linear_solver="schur_pcg"), ins)[1]
+    plan = _plan(sizes, n_iter=8, l_iter=15, linear_solver="schur_pcg")
+    plan.init({k: np.copy(v) for k, v in ins.items()})
+    mesh = make_mesh(8, axis_names=("x",))
+    shard_plan_inputs(plan, mesh, dim_axes={"O": "x", "P": "x", "C": "x"})
+    with mesh:
+        f = plan.solve()
+    assert np.isclose(ref, f, rtol=1e-3), (ref, f)
+
+
 def test_schur_rejects_coupled_elimination():
     ins, sizes = _ba()
     plan = _plan(sizes, linear_solver="schur_pcg",
