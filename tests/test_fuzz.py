@@ -262,3 +262,66 @@ def test_fuzz_block_sparse_schedule(seed):
     np.testing.assert_allclose(
         np.asarray(Ap_flat), np.asarray(J_oracle.T @ (J_oracle @ pflat)),
         rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_schur_matches_direct(seed):
+    """Schur elimination fuzzed against the dense direct solve: on random
+    eligible energies (two unknowns, each accessed through a single map,
+    random channels/nonlinearity) the first-step Schur delta must equal
+    the exact solution of the same damped normal equations."""
+    rng = np.random.RandomState(seed + 900)
+    cx = int(rng.choice([1, 2, 3]))
+    cy = int(rng.choice([1, 2, 3]))
+    Nn = int(rng.randint(8, 30))
+    Mm = int(rng.randint(8, 30))
+    Ee = int(rng.randint(40, 120))
+    nl = rng.choice(["mul", "sq", "lin"])
+    xe, ye = f"X(vx(e))({rng.randint(cx)})", f"Y(vy(e))({rng.randint(cy)})"
+    if nl == "mul":
+        body = f"{xe} * {ye} - A(e)"
+    elif nl == "sq":
+        body = f"{xe} * {xe} + {ye} - A(e)"
+    else:
+        body = f"{xe} - 2.0 * {ye} + A(e)"
+    src = f"""
+N, M, E = Dims("N", "M", "E")
+Inputs(
+    X=Unknown(float{cx}, (N,), 0),
+    Y=Unknown(float{cy}, (M,), 1),
+    A=Array(float, (E,), 2),
+    vx=Sparse((E,), (N,), 3),
+    vy=Sparse((E,), (M,), 4),
+)
+e = E()
+r = Residuals(f={body})
+"""
+    ins = {
+        "X": (1.0 + 0.2 * rng.rand(Nn, cx)).astype(np.float32),
+        "Y": (1.0 + 0.2 * rng.rand(Mm, cy)).astype(np.float32),
+        "A": rng.rand(Ee).astype(np.float32),
+        "vx": rng.randint(0, Nn, size=Ee).astype(np.int32),
+        "vy": rng.randint(0, Mm, size=Ee).astype(np.int32),
+    }
+
+    def first_delta(**opts):
+        spec = tl.load_energy(src)
+        plan = spec.plan({"N": Nn, "M": Mm, "E": Ee},
+                         solver="levenberg_marquardt", **opts)
+        plan.set_solver_parameter("lIterations", 250)
+        plan.set_solver_parameter("q_tolerance", 0.0)
+        plan.init({k: np.copy(v) for k, v in ins.items()})
+        comp = plan.compiled
+        U, step_ins = plan._U, plan._step_inputs()
+        sp, prep = plan._sp(), plan._prep
+        state = comp.solve_setup(U, plan._lm, step_ins, sp, prep)
+        d = comp.linear_solve(U, state, step_ins, sp, prep)
+        return {k: np.asarray(v) for k, v in d.items()}
+
+    d_direct = first_delta(linear_solver="direct")
+    elim = "X" if rng.rand() < 0.5 else "Y"
+    d_schur = first_delta(linear_solver="schur_pcg", schur_eliminate=[elim])
+    for k in d_direct:
+        scale = max(np.abs(d_direct[k]).max(), 1e-6)
+        err = np.abs(d_schur[k] - d_direct[k]).max()
+        assert err < 1e-2 * scale, (seed, elim, k, err, scale)

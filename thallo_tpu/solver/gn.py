@@ -866,15 +866,24 @@ class CompiledSolver:
             else:
                 new_diag = bdiag + extra
             M = blk.at[diag_ix].set(new_diag)  # [C*C, N]
+            # Jacobi equilibration: untouched elements carry the huge
+            # min_lm_diagonal*inv_ssq damping (~1e24); their adjugate
+            # determinant overflows f32 to inf and the inverse goes NaN.
+            # Normalizing to unit diagonal keeps every determinant O(1):
+            # M = D M' D with D = sqrt(diag), so M^-1 = D^-1 M'^-1 D^-1.
+            d = jnp.sqrt(jnp.maximum(new_diag, 1e-30))  # [C, N]
+            dd = (d[:, None, :] * d[None, :, :]).reshape(C * C, N)
+            Mn = M / dd
             if C <= 3:
                 # closed-form adjugate inverse on the channel-major rows:
                 # pure [*, N] elementwise, no (8,128)-padded batched LU
-                out[name] = _cm_small_inv(M, C)
+                inv_n = _cm_small_inv(Mn, C)
             else:
                 Minv = jnp.linalg.inv(
-                    jnp.transpose(M.reshape(C, C, N), (2, 0, 1))
+                    jnp.transpose(Mn.reshape(C, C, N), (2, 0, 1))
                 )  # [N, C, C] batched; once per nonlinear iteration
-                out[name] = jnp.transpose(Minv, (1, 2, 0)).reshape(C * C, N)
+                inv_n = jnp.transpose(Minv, (1, 2, 0)).reshape(C * C, N)
+            out[name] = inv_n / dd
         return out
 
     @staticmethod
