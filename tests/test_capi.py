@@ -27,3 +27,21 @@ def test_capi_build_and_run():
         )
         assert r.returncode == 0, (exe, r.stdout[-1000:], r.stderr[-1000:])
         assert "PASS" in r.stdout, (exe, r.stdout[-500:])
+
+
+@pytest.mark.skipif(not toolchain, reason="needs g++ + make")
+def test_capi_plan_options_env():
+    """THALLO_TPU_PLAN_OPTIONS (JSON) reaches the embedded planner: the
+    native BAL solver runs under linear_solver=schur_pcg (the reference's
+    fixed-ABI init-params struct can't carry new knobs, Thallo.h:10-36)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["THALLO_TPU_PLAN_OPTIONS"] = '{"linear_solver": "schur_pcg"}'
+    r = subprocess.run(["make", "-s"], cwd=CAPI, env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(
+        [os.path.join(CAPI, "bin/test_bal_solver")], cwd=CAPI, env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-1000:])
+    assert "PASS" in r.stdout, r.stdout[-500:]

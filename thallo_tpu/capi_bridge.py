@@ -69,9 +69,21 @@ def problem_plan(state_h, problem_h, dims):
     spec = load_energy_file(pr["filename"], ProblemSpec(double_precision=st["double_precision"]))
     solver = {"LM": "levenberg_marquardt", "LMGPU": "levenberg_marquardt",
               "gaussNewtonGPU": "gauss_newton"}.get(pr["solver"], pr["solver"])
+    # extra plan options (linear_solver="schur_pcg", preconditioner,
+    # block_dtype, ...) reach C-API consumers through one JSON env var —
+    # the reference's init-params struct is fixed-layout (Thallo.h:10-36),
+    # so new knobs can't extend it without breaking its ABI
+    import json as _json
+    import os as _os
+
+    opts = {}
+    raw = _os.environ.get("THALLO_TPU_PLAN_OPTIONS")
+    if raw:
+        opts = dict(_json.loads(raw))
     plan = spec.plan({d.name: int(s) for d, s in zip(spec.dims, dims)}, solver=solver,
                      use_autoscheduler=st["use_autoscheduler"],
-                     timing_level=st["timing"], verbosity=st["verbosity"])
+                     timing_level=st["timing"], verbosity=st["verbosity"],
+                     **opts)
     h = next(_handles)
     _plans[h] = {"plan": plan, "spec": spec, "buffers": None, "state": st}
     return h
