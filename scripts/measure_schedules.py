@@ -27,8 +27,9 @@ def main():
     if which == "image_warping":
         from thallo_tpu.models import image_warping as m
 
-        sizes = {"W": 256, "H": 256}
-        mk = lambda: m.synthetic_inputs(256, 256)  # noqa: E731
+        side = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+        sizes = {"W": side, "H": side}
+        mk = lambda: m.synthetic_inputs(side, side)  # noqa: E731
         factory = m.make_spec
     elif which == "arap":
         from thallo_tpu.models import arap_mesh_deformation as m
