@@ -7,6 +7,7 @@ import os
 import tempfile
 
 import numpy as np
+import pytest
 
 import thallo_tpu as tl
 
@@ -376,3 +377,92 @@ def test_double_precision_solve():
         assert plan2.solve() < max(c0, 1e-12)
     finally:
         sched.DENSE_JTJ_MAX_UNKNOWNS = old
+
+
+def test_update_inputs_between_steps():
+    """Plan.update_inputs: parameters rebind between nonlinear iterations
+    with solver state preserved — the reference re-binds every pointer on
+    each Thallo_ProblemStep (initParameters setGPUptr,
+    gauss_newton.t:1559), enabling weight schedules / nested solvers."""
+    src = """
+W, H = Dims("W", "H")
+Inputs(X=Unknown(float, (W, H), 0), A=Array(float, (W, H), 1),
+       w=Param(float, 2))
+x, y = W(), H()
+r = Residuals(fit=w * (X(x, y) - A(x, y)),
+              reg=Select(InBounds(x + 1, y), X(x, y) - X(x + 1, y), 0))
+"""
+    rng = np.random.RandomState(0)
+    t = rng.rand(12, 12).astype(np.float32)
+    x0 = (t + 0.5 * rng.rand(12, 12)).astype(np.float32)
+
+    def run(ramp):
+        spec = tl.load_energy(src)
+        plan = spec.plan({"W": 12, "H": 12}, solver="levenberg_marquardt")
+        plan.set_solver_parameter("nIterations", 12)
+        plan.set_solver_parameter("lIterations", 12)
+        plan.init({"X": x0.copy(), "A": t, "w": 0.05})
+        for _ in range(4):
+            plan.step()
+        u_mid = plan.get_unknown("X").copy()
+        if ramp:
+            plan.update_inputs({"w": 20.0})
+            # unknowns untouched by the update
+            np.testing.assert_array_equal(plan.get_unknown("X"), u_mid)
+        while plan.step():
+            pass
+        return np.abs(plan.get_unknown("X") - t).mean()
+
+    err_ramped = run(True)
+    err_flat = run(False)
+    # the ramped fit weight pulls X onto A far harder
+    assert err_ramped < 0.25 * err_flat, (err_ramped, err_flat)
+
+    # rebinding an unknown through update_inputs must be rejected
+    spec = tl.load_energy(src)
+    plan = spec.plan({"W": 12, "H": 12})
+    plan.init({"X": x0.copy(), "A": t, "w": 1.0})
+    with pytest.raises(ValueError, match="cannot rebind unknowns"):
+        plan.update_inputs({"X": x0})
+
+
+def test_update_inputs_sparse_map_rebuilds_prep():
+    """Changing a sparse map mid-solve rebuilds the host prep (BSR row
+    tables) and the subsequent steps run on the new graph."""
+    src = """
+N, E = Dims("N", "E")
+Inputs(X=Unknown(float2, (N,), 0), A=Array(float2, (N,), 1),
+       v0=Sparse((E,), (N,), 2), v1=Sparse((E,), (N,), 3))
+n, e = N(), E()
+r = Residuals(fit=X(n) - A(n), reg=X(v0(e)) - X(v1(e)))
+r.reg.JtJ.set_materialize(True)
+r.reg.JtJ.set_sparse(True)
+"""
+    rng = np.random.RandomState(1)
+    Nn, Ee = 16, 40
+    v0 = rng.randint(0, Nn, size=Ee).astype(np.int32)
+    v1 = ((v0 + 1 + rng.randint(0, Nn - 1, size=Ee)) % Nn).astype(np.int32)
+    ins = {"X": rng.rand(Nn, 2).astype(np.float32),
+           "A": rng.rand(Nn, 2).astype(np.float32), "v0": v0, "v1": v1}
+    spec = tl.load_energy(src)
+    plan = spec.plan({"N": Nn, "E": Ee}, solver="levenberg_marquardt")
+    plan.set_solver_parameter("nIterations", 10)
+    plan.set_solver_parameter("lIterations", 10)
+    plan.init({k: np.copy(v) for k, v in ins.items()})
+    plan.step()
+    # rewire the graph: all edges point at node 0
+    new_v1 = np.zeros(Ee, np.int32)
+    new_v0 = np.maximum(v0, 1).astype(np.int32)
+    plan.update_inputs({"v0": new_v0, "v1": new_v1})
+    while plan.step():
+        pass
+    final = plan.cost()
+    # oracle: a fresh solve on the rewired graph reaches the same cost
+    spec2 = tl.load_energy(src)
+    plan2 = spec2.plan({"N": Nn, "E": Ee}, solver="levenberg_marquardt")
+    plan2.set_solver_parameter("nIterations", 12)
+    plan2.set_solver_parameter("lIterations", 10)
+    plan2.init({"X": np.copy(ins["X"]), "A": np.copy(ins["A"]),
+                "v0": new_v0, "v1": new_v1})
+    ref = plan2.solve()
+    assert np.isclose(final, ref, rtol=0.05), (final, ref)

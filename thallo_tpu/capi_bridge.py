@@ -155,12 +155,35 @@ def problem_init(plan_h, ptrs):
     entry = _plans[plan_h]
     inputs, buffers = _wrap_pointers(entry, ptrs)
     entry["buffers"] = buffers
-    entry["plan"].init(inputs)
+    plan = entry["plan"]
+    plan.init(inputs)
+    unknown_names = {im.name for im in entry["spec"].unknowns}
+    entry["const_snapshot"] = {
+        k: v for k, v in inputs.items() if k not in unknown_names
+    }
 
 
 def problem_step(plan_h, ptrs):
+    """One nonlinear iteration.  The reference re-binds every parameter
+    pointer on each step (initParameters setGPUptr, gauss_newton.t:1559),
+    so applications may mutate const arrays / scalar params / sparse maps
+    between steps (weight schedules, bundle_fusion's nested solvers).
+    This copy-based bridge matches that: it re-reads the caller's buffers
+    and pushes any changed non-unknown input through
+    Plan.update_inputs."""
     entry = _plans[plan_h]
-    cont = entry["plan"].step()
+    plan = entry["plan"]
+    snap = entry.get("const_snapshot")
+    if ptrs and snap is not None:
+        new_inputs, _ = _wrap_pointers(entry, ptrs)
+        changed = {
+            k: v for k, v in new_inputs.items()
+            if k in snap and not np.array_equal(v, snap[k])
+        }
+        if changed:
+            plan.update_inputs(changed)
+            snap.update(changed)
+    cont = plan.step()
     _writeback(entry)
     return 1 if cont else 0
 

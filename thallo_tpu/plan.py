@@ -429,6 +429,42 @@ class Plan:
             print(f"[thallo_tpu] initial cost: {c0:g}")
         return c0
 
+    def update_inputs(self, inputs: Dict[str, np.ndarray]):
+        """Update NON-unknown problem inputs (const arrays, scalar params,
+        sparse maps) between nonlinear iterations, preserving the solver
+        state (unknowns, trust region).  The reference re-binds every
+        parameter pointer on each Thallo_ProblemStep
+        (util.t initParameters setGPUptr, gauss_newton.t:1559), which is
+        what lets applications run weight schedules and doubly-nested
+        solvers (bundle_fusion) through the step API.  Host-side prep
+        (gathered const tables, BSR row tables, static masks) is rebuilt,
+        so changing a sparse map mid-solve is supported but costs an
+        init-level re-prep."""
+        if self._inputs is None:
+            raise RuntimeError("update_inputs before init()")
+        unknown_names = {im.name for im in self.spec.unknowns}
+        bad = sorted(set(inputs) & unknown_names)
+        if bad:
+            raise ValueError(
+                f"update_inputs cannot rebind unknowns {bad}; use init() "
+                "or load_state() to reset unknown values")
+        merged = dict(self._all_inputs())
+        merged.update(inputs)
+        normalized = self._normalize_inputs(merged)
+        self._inputs = {
+            k: (self._inputs[k] if k in unknown_names else v)
+            for k, v in normalized.items()
+        }
+        self._const_inputs = {
+            k: v for k, v in self._inputs.items() if k not in unknown_names
+        }
+        self._prep = self.compiled.prepare(self._const_inputs)
+        if self._lm is not None and self.compiled.uses_lambda:
+            # the LM trust region must judge the NEXT step against the
+            # updated objective, not the pre-update cost
+            c = float(self.compiled.cost_jit(self._U, self._step_inputs()))
+            self._lm = self._lm._replace(prev_cost=jnp.asarray(c, self.dtype))
+
     def _all_inputs(self):
         return self._inputs
 
