@@ -42,6 +42,7 @@ from .expr import (
     SampleAccess,
 )
 from .inputs import Image
+from .ops import structured
 from .ops.sampling import array_bilinear_sample, bilinear_sample, sample_with_deriv_images
 
 
@@ -724,6 +725,19 @@ class LoweredGroup:
             from .solver.blocksparse import build_group_bsr
 
             bsr = build_group_bsr(self, inputs, self.dtype)
+        # structured-index slot plans (ops/structured.py): when a graph
+        # slot's concrete flat indices are piecewise-affine (grid meshes),
+        # the channel-major gather lowers to windowed slices with zero
+        # per-index cost.  Static (ride the consts pytree as aux data, so
+        # a graph change retraces).
+        affine = [None] * len(self.uslots)
+        if concrete and structured.enabled() and self.supports_cm:
+            for i, slot in enumerate(self.uslots):
+                S = int(np.prod([d.size for d in slot.image.dims]))
+                flat = np.asarray(
+                    self._slot_flat_indices(slot, inputs, use_np=True)
+                ).reshape(-1)
+                affine[i] = structured.slot_gather_plan(flat, S)
         # dep-domain tuples are STATIC per lowering (they derive from the
         # expressions, not the data); keeping them out of the consts dict
         # keeps every prep leaf a jax array (prep rides through jit)
@@ -737,6 +751,7 @@ class LoweredGroup:
             "params": params,
             "simgs": simgs,
             "stables": stables,
+            "affine": structured.Static(tuple(affine)),
         }
 
     # -- the local function -------------------------------------------------
@@ -991,25 +1006,37 @@ class LoweredGroup:
         srcT = img.reshape(-1, C).T  # [C, N] — tiny relayout of the image
         return srcT.at[:, flat.reshape(-1)].get(mode="promise_in_bounds")
 
-    def gather_all_cm(self, X, inputs):
+    def gather_all_cm(self, X, inputs, consts=None):
         """All unknown slots, channel-major, with same-index slots SHARING
         one gather: gathers cost ~8 cycles PER INDEX independent of row
         width (PERF.md), so slots whose symbolic index and source extent
         coincide (e.g. ARAP's P(v0) and Angle(v0)) concatenate their
-        channel-major sources and pay the index cost once."""
+        channel-major sources and pay the index cost once.  Slots whose
+        concrete indices are piecewise-affine (grid meshes) skip the
+        gather entirely: windowed slices via the structured plan computed
+        in prepared_consts (ops/structured.py)."""
+        plans = None
+        if consts is not None and "affine" in consts:
+            plans = consts["affine"].value
         groups: Dict[tuple, list] = {}
         for i, s in enumerate(self.uslots):
             key = (tuple(d.size for d in s.image.dims), s.comps)
             groups.setdefault(key, []).append(i)
         out: List = [None] * len(self.uslots)
         for idxs in groups.values():
+            plan = plans[idxs[0]] if plans is not None else None
             if len(idxs) == 1:
                 i = idxs[0]
                 s = self.uslots[i]
+                if plan is not None:
+                    srcT = X[s.image.name].reshape(-1, s.image.channels).T
+                    v = structured.apply_slot_plan_minor(srcT, plan)
+                    if v is not None:
+                        out[i] = v
+                        continue
                 out[i] = self.gather_slot_cm(s, X[s.image.name], inputs)
                 continue
             s0 = self.uslots[idxs[0]]
-            flat = self._slot_flat_indices(s0, inputs).reshape(-1)
             cat = jnp.concatenate(
                 [
                     X[self.uslots[i].image.name]
@@ -1019,7 +1046,12 @@ class LoweredGroup:
                 ],
                 axis=0,
             )  # [sum C_i, N]
-            g = cat.at[:, flat].get(mode="promise_in_bounds")
+            g = None
+            if plan is not None:
+                g = structured.apply_slot_plan_minor(cat, plan)
+            if g is None:
+                flat = self._slot_flat_indices(s0, inputs).reshape(-1)
+                g = cat.at[:, flat].get(mode="promise_in_bounds")
             off = 0
             for i in idxs:
                 C = self.uslots[i].image.channels
@@ -1052,7 +1084,7 @@ class LoweredGroup:
     def residuals_cm(self, X, inputs, consts=None):
         """r(U): [rc, R] channel-major."""
         consts = consts if consts is not None else self.prepared_consts(inputs)
-        uvalsT = self.gather_all_cm(X, inputs)
+        uvalsT = self.gather_all_cm(X, inputs, consts)
         return self._vmapped_cm(self._F, uvalsT, consts)
 
     def point_jacobians_cm(self, X, inputs, consts=None):
@@ -1060,7 +1092,7 @@ class LoweredGroup:
         twin of point_jacobians for groups without materialized computed
         arrays, contractions or fiber slots.  Same fwd/rev AD-mode choice."""
         consts = consts if consts is not None else self.prepared_consts(inputs)
-        uvalsT = self.gather_all_cm(X, inputs)
+        uvalsT = self.gather_all_cm(X, inputs, consts)
         f = lambda uv: self._vmapped_cm(self._F, uv, consts)  # noqa: E731
         use_rev = self._use_rev_mode(sum(s.image.channels for s in self.uslots))
         if use_rev:

@@ -41,17 +41,16 @@ def synthetic_inputs(side=16, seed=0, w_fit=10.0, w_reg=1.0):
     N = side * side
     xs, ys = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
     orig = np.stack([xs, ys, np.zeros_like(xs)], axis=-1).reshape(N, 3).astype(np.float32)
-    edges = []
-    for i in range(side):
-        for j in range(side):
-            v = i * side + j
-            if i + 1 < side:
-                edges.append((v, v + side))
-                edges.append((v + side, v))
-            if j + 1 < side:
-                edges.append((v, v + 1))
-                edges.append((v + 1, v))
-    edges = np.asarray(edges, dtype=np.int32)
+    # direction-grouped edges (each 4-neighbor pair in both directions):
+    # the natural vectorized construction, and each direction group is an
+    # affine box over the vertex grid, so the structured-index fast path
+    # (ops/structured.py) lowers every edge gather to slices.  The energy
+    # is a sum over edges — identical for any edge ordering.
+    vid = np.arange(N, dtype=np.int32).reshape(side, side)
+    down = np.stack([vid[:-1, :].ravel(), vid[1:, :].ravel()], axis=1)
+    right = np.stack([vid[:, :-1].ravel(), vid[:, 1:].ravel()], axis=1)
+    edges = np.concatenate(
+        [down, down[:, ::-1], right, right[:, ::-1]], axis=0)
     constraints = np.full((N, 3), -9999999.0, dtype=np.float32)
     constraints[0] = orig[0]
     corner = N - 1

@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import structured
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
@@ -57,21 +59,100 @@ class GroupBsr:
     image_shapes: dict                   # image name -> full array shape
     row_dims: Tuple[Tuple[str, ...], ...] = ()  # row table -> image dim names
     col_row: Tuple[int, ...] = ()        # col table -> owning row table
+    # structured-index fast path (ops/structured.py): per row table a
+    # tuple over d of ColPlan|None lowering the payload row gather to
+    # windowed slices; same per col table for the per-PCG-step p gather.
+    # Static aux: participates in the jit cache key, so a graph change
+    # that alters the plans retraces.
+    perm_plans: Tuple[Optional[tuple], ...] = ()
+    col_plans: Tuple[Optional[tuple], ...] = ()
 
     def tree_flatten(self):
         children = (self.perms, self.masks, self.cols)
         aux = (self.slot_row, self.pairs, self.col_gathers, self.slot_images,
                tuple(self.slot_channels), tuple(sorted(self.image_shapes.items())),
-               self.row_dims, self.col_row)
+               self.row_dims, self.col_row, self.perm_plans, self.col_plans)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         perms, masks, cols = children
         (slot_row, pairs, col_gathers, slot_images, slot_channels, shapes,
-         row_dims, col_row) = aux
+         row_dims, col_row, perm_plans, col_plans) = aux
         return cls(perms, masks, cols, slot_row, pairs, col_gathers,
-                   slot_images, slot_channels, dict(shapes), row_dims, col_row)
+                   slot_images, slot_channels, dict(shapes), row_dims, col_row,
+                   perm_plans, col_plans)
+
+
+def _plan_cost_ok(plan, N: int) -> bool:
+    """Reject windowed plans whose overlap/coverage would cost more than
+    the gather they replace (k shifted copies, padded coverage)."""
+    _v0, H, L, _b, rs, _cs = plan
+    if H > 1:
+        if rs == 0:
+            return True
+        if rs < 0:
+            return False
+        k = 1 if rs >= L else -(-L // rs)
+        if k > 4:
+            return False
+    return H * L <= 4 * N + 1024
+
+
+def _seg_keyed_table(idx, N, R, max_waste, max_pad_extra):
+    """Try building the row table with columns keyed by affine SEGMENT
+    (ops/structured.py) instead of incidence rank: each detected affine
+    box of the slot's index array becomes one padded-degree column whose
+    perm entries are then themselves affine over the unknown axis — the
+    payload gather for that column lowers to windowed slices (zero
+    per-index cost).  Returns None when the index array is unstructured
+    (falls back to rank keying)."""
+    segs = structured.detect_segments(idx) if structured.enabled() else None
+    segs = structured.normalize_segments(segs)
+    if segs is None:
+        return None
+    D = len(segs)
+    if N * D > max_waste * R + max_pad_extra:
+        return None
+    perm = np.zeros((N, D), np.int32)
+    mask = np.zeros((N, D), np.float32)
+    pos = np.empty(R, np.int64)
+    for d, (s0, H, W, _b, _c1, _c2) in enumerate(segs):
+        pos[s0:s0 + H * W] = d
+    perm[idx, pos] = np.arange(R, dtype=np.int32)
+    mask[idx, pos] = 1.0
+    plans = []
+    for d, (s0, H, W, b, c1, _c2) in enumerate(segs):
+        plan = (int(b), int(H), int(c1) if H > 1 else int(W), int(s0),
+                int(W), 1)
+        ok = (_plan_cost_ok(plan, N)
+              and structured.verify_col_plan(plan, perm[:, d], mask[:, d]))
+        plans.append(plan if ok else None)
+    return {"perm": perm, "mask": mask, "D": D, "segs": segs,
+            "plans": tuple(plans)}
+
+
+def _col_plans_for(segs, idx_j, colt, mask, N_src):
+    """Affine plans for a column table (idx_j composed through the row
+    table): needs idx_j affine over the SAME segment boxes.  Verified
+    numerically against the built table on valid lanes."""
+    N = colt.shape[0]
+    plans = []
+    for d, (s0, H, W, b, c1, _c2) in enumerate(segs):
+        vals = idx_j[s0:s0 + H * W].astype(np.int64).reshape(H, W)
+        bj = int(vals[0, 0])
+        c2j = int(vals[0, 1] - bj) if W > 1 else 1
+        c1j = int(vals[1, 0] - bj) if H > 1 else 0
+        expect = (bj + np.arange(H, dtype=np.int64)[:, None] * c1j
+                  + np.arange(W, dtype=np.int64)[None, :] * c2j)
+        if c2j != 1 or not np.array_equal(vals, expect):
+            plans.append(None)
+            continue
+        plan = (int(b), int(H), int(c1) if H > 1 else int(W), bj, c1j, 1)
+        ok = (_plan_cost_ok(plan, N)
+              and structured.verify_col_plan(plan, colt[:, d], mask[:, d]))
+        plans.append(plan if ok else None)
+    return tuple(plans)
 
 
 def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
@@ -117,24 +198,32 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
             row_key_of_slot.append(key_to_row[key])
             continue
         idx = idxs[i]
-        order = np.argsort(idx, kind="stable").astype(np.int64)
-        counts = np.bincount(idx, minlength=N)
-        D = max(int(counts.max()), 1)
-        if N * D > max_waste * R + max_pad_extra:
-            return None  # degree skew would explode the padding
-        starts = np.zeros(N + 1, np.int64)
-        starts[1:] = np.cumsum(counts)
-        sorted_rows = idx[order]
-        pos = np.arange(R, dtype=np.int64) - starts[sorted_rows]
-        perm = np.zeros((N, D), np.int32)
-        mask = np.zeros((N, D), np.float32)
-        perm[sorted_rows, pos] = order.astype(np.int32)
-        mask[sorted_rows, pos] = 1.0
+        st = _seg_keyed_table(idx, N, R, max_waste, max_pad_extra)
+        if st is not None:
+            perm, mask, D = st["perm"], st["mask"], st["D"]
+            segs, plans = st["segs"], st["plans"]
+        else:
+            segs, plans = None, None
+            order = np.argsort(idx, kind="stable").astype(np.int64)
+            counts = np.bincount(idx, minlength=N)
+            D = max(int(counts.max()), 1)
+            if N * D > max_waste * R + max_pad_extra:
+                return None  # degree skew would explode the padding
+            starts = np.zeros(N + 1, np.int64)
+            starts[1:] = np.cumsum(counts)
+            sorted_rows = idx[order]
+            pos = np.arange(R, dtype=np.int64) - starts[sorted_rows]
+            perm = np.zeros((N, D), np.int32)
+            mask = np.zeros((N, D), np.float32)
+            perm[sorted_rows, pos] = order.astype(np.int32)
+            mask[sorted_rows, pos] = 1.0
         padded_total += N * D
         key_to_row[key] = len(row_tables)
         row_key_of_slot.append(len(row_tables))
         row_tables.append({"perm": perm, "mask": mask, "idx": idx, "N": N, "D": D,
-                           "dims": tuple(d.name for d in s.image.dims)})
+                           "dims": tuple(d.name for d in s.image.dims),
+                           "segs": segs,
+                           "plans": plans if plans is not None else (None,) * D})
     if padded_total > max_waste * R * len(row_tables) + max_pad_extra:
         return None
 
@@ -146,6 +235,7 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
     pairs: List[tuple] = []
     col_tables: List[np.ndarray] = []
     col_row_of: List[int] = []
+    col_plans_of: List[Optional[tuple]] = []
     col_key: Dict[tuple, int] = {}
     gathers: List[tuple] = []
     gather_key: Dict[tuple, int] = {}
@@ -167,6 +257,9 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
                 col_key[ck] = len(col_tables)
                 col_tables.append(np.ascontiguousarray(colt.T))
                 col_row_of.append(t)
+                col_plans_of.append(
+                    _col_plans_for(rt["segs"], idxs[j], colt, rt["mask"], N_j)
+                    if rt["segs"] is not None else None)
             gk = (col_key[ck], sj.image.name)
             if gk not in gather_key:
                 gather_key[gk] = len(gathers)
@@ -189,6 +282,8 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
         image_shapes=shapes,
         row_dims=tuple(rt["dims"] for rt in row_tables),
         col_row=tuple(col_row_of),
+        perm_plans=tuple(rt["plans"] for rt in row_tables),
+        col_plans=tuple(col_plans_of),
     )
 
 
@@ -270,9 +365,23 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
         perm, mask = bsr.perms[t], bsr.masks[t]
         N, D = perm.shape
         F = payload.shape[1]
-        g = jnp.take(payload, perm.reshape(-1), axis=0).reshape(
-            N, D, F
-        ) * mask[..., None]  # [N, D, F]
+        plans = bsr.perm_plans[t] if t < len(bsr.perm_plans) else None
+        if plans is not None and any(p is not None for p in plans):
+            # structured fast path: windowed slices replace the row
+            # gather for affine columns (ops/structured.py); invalid
+            # lanes read in-range garbage that the mask zeroes
+            gparts = []
+            for d in range(D):
+                gd = (structured.apply_col_plan_rows(payload, plans[d], N)
+                      if plans[d] is not None else None)
+                if gd is None:
+                    gd = jnp.take(payload, perm[:, d], axis=0)
+                gparts.append(gd * mask[:, d][:, None])
+            g = jnp.stack(gparts, axis=1)  # [N, D, F]
+        else:
+            g = jnp.take(payload, perm.reshape(-1), axis=0).reshape(
+                N, D, F
+            ) * mask[..., None]  # [N, D, F]
         gsum = jnp.sum(g, axis=1)  # [N, F] for the pre-aggregated parts
         off = 0
         for kind, key, width in payload_specs[t]:
@@ -338,6 +447,25 @@ def bsr_apply(bsr: GroupBsr, blocks, p):
         D, N = bsr.cols[ct].shape
         cat = (pT[entries[0][1]] if len(entries) == 1
                else jnp.concatenate([pT[img] for _, img, _ in entries], axis=0))
+        plans = bsr.col_plans[ct] if ct < len(bsr.col_plans) else None
+        if plans is not None and any(p is not None for p in plans):
+            # structured fast path (ops/structured.py): affine columns
+            # read p through windowed slices — zero per-index cost on
+            # the PCG-step hot loop; garbage on invalid lanes multiplies
+            # zeroed blocks
+            gs = []
+            for d in range(D):
+                gd = (structured.apply_col_plan_minor(cat, plans[d], N)
+                      if plans[d] is not None else None)
+                if gd is None:
+                    gd = jnp.take(cat, bsr.cols[ct][d], axis=1)
+                gs.append(gd)
+            g = jnp.stack(gs, axis=1)  # [sum C, D, N]
+            off = 0
+            for gidx, img, C in entries:
+                pg[gidx] = g[off:off + C]
+                off += C
+            continue
         g = jnp.take(cat, bsr.cols[ct].reshape(-1), axis=1)
         off = 0
         for gidx, img, C in entries:
