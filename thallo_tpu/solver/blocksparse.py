@@ -87,12 +87,10 @@ class GroupBsr:
 def _plan_cost_ok(plan, N: int) -> bool:
     """Reject windowed plans whose overlap/coverage would cost more than
     the gather they replace (k shifted copies, padded coverage)."""
-    _v0, H, L, _b, rs, _cs = plan
-    if H > 1:
-        if rs == 0:
-            return True
-        if rs < 0:
-            return False
+    _v0, H, L, _b, rs, cs = plan
+    if rs < 0:
+        return False
+    if cs == 1 and H > 1 and rs > 0:
         k = 1 if rs >= L else -(-L // rs)
         if k > 4:
             return False
@@ -111,46 +109,80 @@ def _seg_keyed_table(idx, N, R, max_waste, max_pad_extra):
     segs = structured.normalize_segments(segs)
     if segs is None:
         return None
-    D = len(segs)
-    if N * D > max_waste * R + max_pad_extra:
+    # one padded-degree column per affine segment — except uniform-repeat
+    # segments (col_coeff 0: sorted observation maps), which contribute
+    # one column per within-run position t so each (unknown, column)
+    # pair stays unique.  columns: list of (segment index, t|None).
+    columns: List[tuple] = []
+    pos = np.empty(R, np.int64)
+    for d, (s0, H, W, b, c1, c2) in enumerate(segs):
+        span = H * W
+        if c2 == 0 and W > 1:
+            if H > 1 and c1 == 0:
+                return None  # same unknown everywhere: not keyable
+            pos[s0:s0 + span] = len(columns) + (
+                np.arange(span, dtype=np.int64) % W)
+            columns.extend((d, t) for t in range(W))
+        else:
+            pos[s0:s0 + span] = len(columns)
+            columns.append((d, None))
+    D = len(columns)
+    if D > 32 or N * D > max_waste * R + max_pad_extra:
         return None
     perm = np.zeros((N, D), np.int32)
     mask = np.zeros((N, D), np.float32)
-    pos = np.empty(R, np.int64)
-    for d, (s0, H, W, _b, _c1, _c2) in enumerate(segs):
-        pos[s0:s0 + H * W] = d
     perm[idx, pos] = np.arange(R, dtype=np.int32)
     mask[idx, pos] = 1.0
     plans = []
-    for d, (s0, H, W, b, c1, _c2) in enumerate(segs):
-        plan = (int(b), int(H), int(c1) if H > 1 else int(W), int(s0),
-                int(W), 1)
+    for ci, (d, t) in enumerate(columns):
+        s0, H, W, b, c1, c2 = segs[d]
+        if t is None:
+            plan = (int(b), int(H), int(c1) if H > 1 else int(W), int(s0),
+                    int(W), 1)
+        else:
+            # repeat column t: unknown b + r*c1 -> residual s0 + r*W + t
+            plan = (int(b), int(H), int(c1) if H > 1 else 1,
+                    int(s0) + int(t), int(W), 0)
         ok = (_plan_cost_ok(plan, N)
-              and structured.verify_col_plan(plan, perm[:, d], mask[:, d]))
+              and structured.verify_col_plan(plan, perm[:, ci], mask[:, ci]))
         plans.append(plan if ok else None)
     return {"perm": perm, "mask": mask, "D": D, "segs": segs,
-            "plans": tuple(plans)}
+            "columns": tuple(columns), "plans": tuple(plans)}
 
 
-def _col_plans_for(segs, idx_j, colt, mask, N_src):
+def _col_plans_for(segs, columns, idx_j, colt, mask, N_src):
     """Affine plans for a column table (idx_j composed through the row
     table): needs idx_j affine over the SAME segment boxes.  Verified
     numerically against the built table on valid lanes."""
     N = colt.shape[0]
     plans = []
-    for d, (s0, H, W, b, c1, _c2) in enumerate(segs):
-        vals = idx_j[s0:s0 + H * W].astype(np.int64).reshape(H, W)
-        bj = int(vals[0, 0])
-        c2j = int(vals[0, 1] - bj) if W > 1 else 1
-        c1j = int(vals[1, 0] - bj) if H > 1 else 0
-        expect = (bj + np.arange(H, dtype=np.int64)[:, None] * c1j
-                  + np.arange(W, dtype=np.int64)[None, :] * c2j)
-        if c2j != 1 or not np.array_equal(vals, expect):
-            plans.append(None)
-            continue
-        plan = (int(b), int(H), int(c1) if H > 1 else int(W), bj, c1j, 1)
+    for ci, (d, t) in enumerate(columns):
+        s0, H, W, b, c1, _c2 = segs[d]
+        if t is None:
+            vals = idx_j[s0:s0 + H * W].astype(np.int64).reshape(H, W)
+            bj = int(vals[0, 0])
+            c2j = int(vals[0, 1] - bj) if W > 1 else 1
+            c1j = int(vals[1, 0] - bj) if H > 1 else 0
+            expect = (bj + np.arange(H, dtype=np.int64)[:, None] * c1j
+                      + np.arange(W, dtype=np.int64)[None, :] * c2j)
+            if c2j not in (0, 1) or not np.array_equal(vals, expect):
+                plans.append(None)
+                continue
+            plan = (int(b), int(H), int(c1) if H > 1 else int(W),
+                    bj, c1j, c2j)
+        else:
+            # repeat column t: unknown b + r*c1 <- idx_j[s0 + r*W + t]
+            vals = idx_j[s0 + t:s0 + H * W:W].astype(np.int64)
+            bj = int(vals[0])
+            c1j = int(vals[1] - bj) if H > 1 else 0
+            if c1j < 0 or not np.array_equal(
+                vals, bj + np.arange(H, dtype=np.int64) * c1j
+            ):
+                plans.append(None)
+                continue
+            plan = (int(b), int(H), int(c1) if H > 1 else 1, bj, c1j, 0)
         ok = (_plan_cost_ok(plan, N)
-              and structured.verify_col_plan(plan, colt[:, d], mask[:, d]))
+              and structured.verify_col_plan(plan, colt[:, ci], mask[:, ci]))
         plans.append(plan if ok else None)
     return tuple(plans)
 
@@ -201,9 +233,9 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
         st = _seg_keyed_table(idx, N, R, max_waste, max_pad_extra)
         if st is not None:
             perm, mask, D = st["perm"], st["mask"], st["D"]
-            segs, plans = st["segs"], st["plans"]
+            segs, columns, plans = st["segs"], st["columns"], st["plans"]
         else:
-            segs, plans = None, None
+            segs, columns, plans = None, None, None
             order = np.argsort(idx, kind="stable").astype(np.int64)
             counts = np.bincount(idx, minlength=N)
             D = max(int(counts.max()), 1)
@@ -222,7 +254,7 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
         row_key_of_slot.append(len(row_tables))
         row_tables.append({"perm": perm, "mask": mask, "idx": idx, "N": N, "D": D,
                            "dims": tuple(d.name for d in s.image.dims),
-                           "segs": segs,
+                           "segs": segs, "columns": columns,
                            "plans": plans if plans is not None else (None,) * D})
     if padded_total > max_waste * R * len(row_tables) + max_pad_extra:
         return None
@@ -258,7 +290,8 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
                 col_tables.append(np.ascontiguousarray(colt.T))
                 col_row_of.append(t)
                 col_plans_of.append(
-                    _col_plans_for(rt["segs"], idxs[j], colt, rt["mask"], N_j)
+                    _col_plans_for(rt["segs"], rt["columns"], idxs[j], colt,
+                                   rt["mask"], N_j)
                     if rt["segs"] is not None else None)
             gk = (col_key[ck], sj.image.name)
             if gk not in gather_key:
