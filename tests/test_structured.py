@@ -144,6 +144,35 @@ class TestSlotPlans:
         idx = rng.permutation(1000).astype(np.int32)
         assert structured.slot_gather_plan(idx, 1000) is None
 
+    def test_rows_gather_and_scatter_transpose(self):
+        """apply_slot_plan_rows == take and scatter_slot_plan_rows ==
+        segment_sum on grid-mesh and repeat index arrays."""
+        import jax
+
+        side = 8
+        vid = np.arange(side * side).reshape(side, side)
+        cases = [
+            np.concatenate([vid[:-1, :].ravel(), vid[1:, :].ravel(),
+                            vid[:, :-1].ravel(), vid[:, 1:].ravel()]),
+            np.repeat(np.arange(40), 3),
+            np.arange(64),
+        ]
+        rng = np.random.default_rng(8)
+        for idx in cases:
+            idx = idx.astype(np.int32)
+            N = int(idx.max()) + 1
+            plan = structured.slot_gather_plan(idx, N)
+            assert plan is not None, idx[:8]
+            src = rng.normal(size=(N, 3)).astype(np.float32)
+            g = structured.apply_slot_plan_rows(jnp.asarray(src), plan)
+            np.testing.assert_array_equal(np.asarray(g), src[idx])
+            vals = rng.normal(size=(len(idx), 3)).astype(np.float32)
+            s = structured.scatter_slot_plan_rows(jnp.asarray(vals), plan, N)
+            oracle = np.asarray(jax.ops.segment_sum(
+                jnp.asarray(vals), jnp.asarray(idx), num_segments=N))
+            np.testing.assert_allclose(np.asarray(s), oracle, rtol=1e-6,
+                                       atol=1e-6)
+
 
 class TestBsrIntegration:
     def _build(self, side, shuffle=False):
@@ -247,6 +276,20 @@ class TestBsrIntegration:
         os.environ["THALLO_AFFINE"] = "0"
         try:
             p2 = self._build(32)
+            c_off = p2.cost()
+        finally:
+            os.environ.pop("THALLO_AFFINE")
+        np.testing.assert_allclose(c_on, c_off, rtol=1e-5)
+
+    def test_affine_env_off_same_answer_small(self):
+        """Below the BSR threshold (dense-JTJ schedule) the row-major
+        gather/scatter path carries the plans — same answer with
+        detection off."""
+        p1 = self._build(8)
+        c_on = p1.cost()
+        os.environ["THALLO_AFFINE"] = "0"
+        try:
+            p2 = self._build(8)
             c_off = p2.cost()
         finally:
             os.environ.pop("THALLO_AFFINE")

@@ -505,14 +505,21 @@ class LoweredGroup:
         return flat
 
     # -- gather / scatter ---------------------------------------------------
+    def _affine_plan(self, consts, i: int):
+        if consts is None or i >= len(self.uslots):
+            return None
+        a = consts.get("affine")
+        return a.value[i] if a is not None else None
+
     def gather_slot(self, i: int, X: Dict[str, jnp.ndarray], inputs, consts=None) -> jnp.ndarray:
         slot = self.uslots[i]
         stable = None
         if consts is not None:
             stable = consts.get("stables", {}).get(i)
-        return self._gather(slot, X[slot.image.name], inputs, stable)
+        return self._gather(slot, X[slot.image.name], inputs, stable,
+                            plan=self._affine_plan(consts, i))
 
-    def _gather(self, slot: SlotSpec, img, inputs, stable=None):
+    def _gather(self, slot: SlotSpec, img, inputs, stable=None, plan=None):
         # use the array's own channel count: masks are gathered through
         # unknown slots but carry a single channel
         C = img.shape[-1]
@@ -521,6 +528,12 @@ class LoweredGroup:
             used, shifts = rp
             v = self._place_axes(self._apply_roll(img, shifts), used, C)
             return v.reshape((self.R, C))
+        if plan is not None and stable is None and not slot.dep_cons:
+            # structured fast path: windowed slices; the AD transpose of
+            # these is strided slice-adds (the affine scatter) for free
+            v = structured.apply_slot_plan_rows(img.reshape(-1, C), plan)
+            if v is not None:
+                return v.reshape((self.R, C))
         flat = self._slot_flat_indices(slot, inputs)
         src = img.reshape(-1, C)
         S = src.shape[0]
@@ -557,13 +570,22 @@ class LoweredGroup:
         stable = None
         if consts is not None:
             stable = consts.get("stables", {}).get(i)
-        return self._scatter(self.uslots[i], vals, inputs, stable)
+        return self._scatter(self.uslots[i], vals, inputs, stable,
+                             plan=self._affine_plan(consts, i))
 
-    def _scatter(self, slot: SlotSpec, vals: jnp.ndarray, inputs, stable=None) -> jnp.ndarray:
+    def _scatter(self, slot: SlotSpec, vals: jnp.ndarray, inputs, stable=None,
+                 plan=None) -> jnp.ndarray:
         im = slot.image
         C = im.channels
         imshape = tuple(d.size for d in im.dims) + (C,)
         rp = self._roll_plan(slot)
+        if plan is not None and stable is None and rp is None \
+                and not slot.dep_cons:
+            # affine scatter: static strided slice-adds (structured.py)
+            N = int(np.prod(imshape[:-1]))
+            v = structured.scatter_slot_plan_rows(vals.reshape(-1, C), plan, N)
+            if v is not None:
+                return v.reshape(imshape)
         if rp is not None:
             used, shifts = rp
             v = vals.reshape(self.ext_shape + (C,))
@@ -731,8 +753,10 @@ class LoweredGroup:
         # per-index cost.  Static (ride the consts pytree as aux data, so
         # a graph change retraces).
         affine = [None] * len(self.uslots)
-        if concrete and structured.enabled() and self.supports_cm:
+        if concrete and structured.enabled() and not self.con_domains:
             for i, slot in enumerate(self.uslots):
+                if slot.dep_cons or self._roll_plan(slot) is not None:
+                    continue  # fiber slots / stencils (rolls already win)
                 S = int(np.prod([d.size for d in slot.image.dims]))
                 flat = np.asarray(
                     self._slot_flat_indices(slot, inputs, use_np=True)
@@ -947,14 +971,16 @@ class LoweredGroup:
         stable = None
         if consts is not None and j < len(self.uslots):
             stable = consts.get("stables", {}).get(j)
-        return self._gather(slot, arrs[slot.image.name], inputs, stable)
+        return self._gather(slot, arrs[slot.image.name], inputs, stable,
+                            plan=self._affine_plan(consts, j))
 
     def scatter_jac_slot(self, j: int, vals, inputs, consts=None):
         slot = self.jac_slots[j]
         stable = None
         if consts is not None and j < len(self.uslots):
             stable = consts.get("stables", {}).get(j)
-        return self._scatter(slot, vals, inputs, stable)
+        return self._scatter(slot, vals, inputs, stable,
+                             plan=self._affine_plan(consts, j))
 
     def jac_slot_flat_indices(self, j: int, inputs, use_np=False):
         slot = self.jac_slots[j]

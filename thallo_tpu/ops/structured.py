@@ -297,6 +297,60 @@ def apply_slot_plan_minor(srcT, segs) -> Optional[jnp.ndarray]:
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
+def scatter_slot_plan_rows(vals, segs, N: int) -> Optional[jnp.ndarray]:
+    """Transpose of apply_slot_plan_rows: sum-scatter vals [R, *trail]
+    into [N, *trail] through the piecewise-affine plan — static
+    slice-adds instead of a segment_sum (the explicit counterpart of
+    the transpose JAX derives automatically for the gather windows)."""
+    trail = vals.shape[1:]
+    # slack: gap padding of strided rows may write past N (zeros only)
+    slack = 0
+    for (_s, H, W, b, c1, c2) in segs:
+        if c2 == 0:
+            hi = b + (1 if (H == 1 or c1 == 0) else H * c1)
+        elif H == 1 or c1 == 0:
+            hi = b + W
+        else:
+            k = 1 if c1 >= W else -(-W // c1)
+            hi = b + (k - 1) * c1 + H * c1
+        slack = max(slack, hi - N)
+    out = jnp.zeros((N + max(slack, 0),) + trail, vals.dtype)
+    for (s0, H, W, b, c1, c2) in segs:
+        seg = jax.lax.slice_in_dim(vals, s0, s0 + H * W, axis=0)
+        v = seg.reshape((H, W) + trail)
+        if c2 == 0:
+            s = jnp.sum(v, axis=1)  # [H, *trail]
+            if H == 1 or c1 == 0:
+                out = out.at[b:b + 1].add(
+                    jnp.sum(s, axis=0, keepdims=True))
+            elif c1 == 1:
+                out = out.at[b:b + H].add(s)
+            else:
+                buf = jnp.zeros((H, c1) + trail, vals.dtype)
+                buf = buf.at[:, 0].set(s)
+                out = out.at[b:b + H * c1].add(
+                    buf.reshape((H * c1,) + trail))
+            continue
+        if c2 != 1 or c1 < 0:
+            return None
+        if H == 1:
+            out = out.at[b:b + W].add(v[0])
+            continue
+        if c1 == 0:
+            out = out.at[b:b + W].add(jnp.sum(v, axis=0))
+            continue
+        k = 1 if c1 >= W else -(-W // c1)
+        for j in range(k):
+            w0, w1 = j * c1, min((j + 1) * c1, W)
+            part = v[:, w0:w1]
+            if w1 - w0 < c1:
+                part = jnp.pad(
+                    part, [(0, 0), (0, c1 - (w1 - w0))] + [(0, 0)] * len(trail))
+            out = out.at[b + j * c1:b + j * c1 + H * c1].add(
+                part.reshape((H * c1,) + trail))
+    return jax.lax.slice_in_dim(out, 0, N, axis=0)
+
+
 def apply_slot_plan_rows(src, segs) -> Optional[jnp.ndarray]:
     """Execute a slot_gather_plan on axis 0: [N, F] -> [R, F]."""
     parts = []
