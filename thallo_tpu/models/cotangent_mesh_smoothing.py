@@ -52,16 +52,18 @@ def synthetic_inputs(side=8, seed=0, w_fit=1.0, w_reg=0.5, noise=0.1):
     xs, ys = np.meshgrid(np.arange(side, dtype=np.float32), np.arange(side, dtype=np.float32), indexing="ij")
     z = noise * rng.randn(side, side).astype(np.float32)
     pts = np.stack([xs, ys, z], axis=-1).reshape(N, 3)
-    edges = []
-    for i in range(side - 1):
-        for j in range(side - 1):
-            v = i * side + j
-            # horizontal interior edge (v, v+1) with wings (v+side, v-side or v+1+side...)
-            if 0 < i:
-                edges.append((v, v + 1, v - side, v + side))
-            if 0 < j:
-                edges.append((v, v + side, v - 1, v + 1))
-    edges = np.asarray(edges, np.int32)
+    # orientation-grouped hyper-edges (affine boxes over the vertex grid
+    # -> structured fast path; the energy is edge-order invariant):
+    # horizontal interior edge (v, v+1) with wings (v-side, v+side),
+    # vertical interior edge (v, v+side) with wings (v-1, v+1)
+    vid = np.arange(N, dtype=np.int32).reshape(side, side)
+    h = vid[1:side - 1, :side - 1]
+    horiz = np.stack([h.ravel(), (h + 1).ravel(),
+                      (h - side).ravel(), (h + side).ravel()], axis=1)
+    w = vid[:side - 1, 1:side - 1]
+    vert = np.stack([w.ravel(), (w + side).ravel(),
+                     (w - 1).ravel(), (w + 1).ravel()], axis=1)
+    edges = np.concatenate([horiz, vert], axis=0)
     return {
         "w_fitSqrt": np.sqrt(w_fit),
         "w_regSqrt": np.sqrt(w_reg),

@@ -50,15 +50,14 @@ def synthetic_inputs(side=8, seed=0, w_fit=10.0, w_reg=1.0, w_rot=1.0):
     N = side * side
     xs, ys = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
     ur = np.stack([xs, ys, np.zeros_like(xs)], axis=-1).reshape(N, 3).astype(np.float32)
-    edges = []
-    for i in range(side):
-        for j in range(side):
-            v = i * side + j
-            if i + 1 < side:
-                edges.extend([(v, v + side), (v + side, v)])
-            if j + 1 < side:
-                edges.extend([(v, v + 1), (v + 1, v)])
-    edges = np.asarray(edges, np.int32)
+    # direction-grouped edges: each group is an affine box over the
+    # vertex grid, so the structured-index fast path applies
+    # (ops/structured.py); the energy is edge-order invariant
+    vid = np.arange(N, dtype=np.int32).reshape(side, side)
+    down = np.stack([vid[:-1, :].ravel(), vid[1:, :].ravel()], axis=1)
+    right = np.stack([vid[:, :-1].ravel(), vid[:, 1:].ravel()], axis=1)
+    edges = np.concatenate(
+        [down, down[:, ::-1], right, right[:, ::-1]], axis=0)
     constraints = np.full((N, 3), -9999999.0, np.float32)
     constraints[0] = ur[0]
     constraints[N - 1] = ur[N - 1] + np.array([1.0, 1.0, 2.0], np.float32)

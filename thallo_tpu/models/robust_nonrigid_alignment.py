@@ -45,15 +45,13 @@ def synthetic_inputs(side=8, seed=0, w_fit=3.0, w_reg=1.0):
     N = side * side
     xs, ys = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
     ur = np.stack([xs, ys, np.zeros_like(xs)], axis=-1).reshape(N, 3).astype(np.float32)
-    edges = []
-    for i in range(side):
-        for j in range(side):
-            v = i * side + j
-            if i + 1 < side:
-                edges.extend([(v, v + side), (v + side, v)])
-            if j + 1 < side:
-                edges.extend([(v, v + 1), (v + 1, v)])
-    edges = np.asarray(edges, np.int32)
+    # direction-grouped edges (affine boxes -> structured fast path);
+    # the energy is edge-order invariant
+    vid = np.arange(N, dtype=np.int32).reshape(side, side)
+    down = np.stack([vid[:-1, :].ravel(), vid[1:, :].ravel()], axis=1)
+    right = np.stack([vid[:, :-1].ravel(), vid[:, 1:].ravel()], axis=1)
+    edges = np.concatenate(
+        [down, down[:, ::-1], right, right[:, ::-1]], axis=0)
     constraints = np.full((N, 3), -9999999.0, np.float32)
     normals = np.zeros((N, 3), np.float32)
     sel = rng.choice(N, size=N // 4, replace=False)

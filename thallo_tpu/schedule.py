@@ -44,6 +44,11 @@ DENSE_JTJ_MAX_UNKNOWNS = 4096  # reference dense_materialize_threshold=256
 # model: scatter-add ~12 cycles/row (3.5 ms / 261k rows, PERF.md "the
 # scatter wall"); dynamic gathers ~8 cycles PER INDEX independent of row
 # width (2.0 ms / 250k indices, PERF.md "the per-index gather floor").
+# Caveat: slots whose concrete index arrays turn out piecewise-affine
+# (ops/structured.py — grid meshes, sorted observation maps) pay NONE of
+# these penalties at runtime; that is only knowable at init when the
+# index data exists, so the analytic model here charges the worst case
+# and the measured search (autotune.py) is what observes the affine win.
 SCATTER_ROW_EQ_BYTES = 10_000
 GATHER_ROW_EQ_BYTES = 6_400
 
