@@ -325,3 +325,100 @@ r = Residuals(f={body})
         scale = max(np.abs(d_direct[k]).max(), 1e-6)
         err = np.abs(d_schur[k] - d_direct[k]).max()
         assert err < 1e-2 * scale, (seed, elim, k, err, scale)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_block_sparse_structured(seed):
+    """The structured-index BSR fast path (ops/structured.py) fuzzed
+    against the dense jacfwd oracle: grid-structured edges (with a
+    random nonlinearity / channel count) must build AFFINE column plans
+    and still reproduce jtf / diag / JTJp exactly.  Odd seeds shuffle
+    one endpoint map so only some columns stay planned (mixed
+    windowed + gathered execution)."""
+    rng = np.random.RandomState(seed + 4000)
+    uch = int(rng.choice([1, 2, 3]))
+    nl = ["sin", "sqrtabs", "mul", "none"][seed % 4]
+    e = "X(v0(ee)) - 0.7 * X(v1(ee))"
+    if nl == "sin":
+        e = f"sin({e})"
+    elif nl == "sqrtabs":
+        e = f"sqrt(abs({e}) + 0.1)"
+    elif nl == "mul":
+        e = f"({e}) * ({e})"
+    if uch > 1:
+        e = f"({e}).sum()"
+    src = f"""
+N, E = Dims("N", "E")
+Inputs(X=Unknown(float{uch}, (N,), 0), B=Array(float, (E,), 1),
+       v0=Sparse((E,), (N,), 2), v1=Sparse((E,), (N,), 3))
+n, ee = N(), E()
+r = Residuals(fit=X(n).sum() if {uch} > 1 else X(n),
+              reg=B(ee)(0) * ({e}))
+"""
+    side = int(rng.choice([4, 5]))
+    nN = side * side
+    vid = np.arange(nN, dtype=np.int32).reshape(side, side)
+    down = np.stack([vid[:-1, :].ravel(), vid[1:, :].ravel()], axis=1)
+    right = np.stack([vid[:, :-1].ravel(), vid[:, 1:].ravel()], axis=1)
+    edges = np.concatenate([down, down[:, ::-1], right, right[:, ::-1]], 0)
+    nE = len(edges)
+    v0, v1 = edges[:, 0].copy(), edges[:, 1].copy()
+    mixed = bool(seed % 2)
+    if mixed:  # break v1's structure: only v0's columns stay planned
+        v1 = rng.randint(0, nN, nE).astype(np.int32)
+        bad = v1 == v0  # keep v0 != v1 (aliasing note in random_energy)
+        v1[bad] = (v1[bad] + 1) % nN
+
+    spec = tl.load_energy(src)
+    for nr in spec.energy:
+        nr.JtJ.set_materialize(True)
+        nr.JtJ.set_sparse(True)
+    plan = spec.plan({"N": nN, "E": nE})
+    inputs = {
+        "X": rng.randn(nN, uch).astype(np.float32),
+        "B": rng.randn(nE, 1).astype(np.float32),
+        "v0": v0, "v1": v1,
+    }
+    plan.init(inputs)
+
+    comp = plan.compiled
+    U, ins = plan._U, plan._step_inputs()
+    consts = plan._prep["consts"]
+    bsrs = [c["bsr"] for c in consts
+            if isinstance(c, dict) and c.get("bsr") is not None]
+    assert bsrs, "structured fuzz energy did not build BSR tables"
+    planned = [p for b in bsrs for pl in b.perm_plans for p in pl]
+    assert any(p is not None for p in planned), \
+        "grid edges should produce affine column plans"
+    if not mixed:
+        assert all(p is not None for p in planned)
+    masks = comp.masks(ins, U)
+
+    def res_all(Uv):
+        return jnp.concatenate(
+            [gp.group.residuals(Uv, ins, c).reshape(-1)
+             for gp, c in zip(comp.groups, consts)]
+        )
+
+    flat, unflatten = flatten_tree(U)
+    J_oracle = jax.jacfwd(lambda v: res_all(unflatten(v)))(flat)
+    r_oracle = res_all(U)
+
+    jac_store = {}
+    mjtf, diag, jac_store = comp.jtf_and_diag(U, ins, consts, masks, jac_store)
+    jtf_flat, _ = flatten_tree(mjtf)
+    diag_flat, _ = flatten_tree(diag)
+    np.testing.assert_allclose(
+        np.asarray(jtf_flat), np.asarray(-(J_oracle.T @ r_oracle)),
+        rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(diag_flat), np.asarray(jnp.sum(J_oracle * J_oracle, axis=0)),
+        rtol=2e-4, atol=2e-5)
+    apply_jtjp = comp.make_jtjp(U, ins, consts, masks, jac_store)
+    p = unflatten(jnp.asarray(
+        np.random.RandomState(seed + 4500).randn(flat.size), jnp.float32))
+    Ap_flat, _ = flatten_tree(apply_jtjp(p))
+    pflat, _ = flatten_tree(p)
+    np.testing.assert_allclose(
+        np.asarray(Ap_flat), np.asarray(J_oracle.T @ (J_oracle @ pflat)),
+        rtol=5e-4, atol=5e-5)
