@@ -427,7 +427,36 @@ class Plan:
         self._initial_cost = c0
         if self.verbosity:
             print(f"[thallo_tpu] initial cost: {c0:g}")
+        if self.verbosity >= 2:
+            self._log_structured()
         return c0
+
+    def _log_structured(self):
+        """Report which sparse-map accesses got structured-index plans
+        (ops/structured.py) — the observability for 'why is this graph
+        fast/slow': planned accesses run as windowed slices, unplanned
+        ones pay the per-index gather floor (PERF.md)."""
+        from .solver.blocksparse import GroupBsr
+
+        consts = self._prep.get("consts", []) if isinstance(self._prep, dict) else []
+        for gp, c in zip(self.compiled.groups, consts):
+            if not isinstance(c, dict):
+                continue
+            a = c.get("affine")
+            if a is not None and any(p is not None for p in a.value):
+                slots = [s.image.name for s, p in
+                         zip(gp.group.uslots, a.value) if p is not None]
+                print(f"[thallo_tpu] group {gp.name}: affine slot plans for "
+                      f"{slots}")
+            bsr = c.get("bsr")
+            if isinstance(bsr, GroupBsr):
+                n_p = sum(p is not None for pl in bsr.perm_plans for p in pl)
+                n_t = sum(len(pl) for pl in bsr.perm_plans)
+                n_cp = sum(p is not None for pl in bsr.col_plans
+                           if pl is not None for p in pl)
+                n_ct = sum(len(c_.shape) and c_.shape[0] for c_ in bsr.cols)
+                print(f"[thallo_tpu] group {gp.name}: BSR columns planned "
+                      f"{n_p}/{n_t} (row tables), {n_cp}/{n_ct} (col tables)")
 
     def update_inputs(self, inputs: Dict[str, np.ndarray]):
         """Update NON-unknown problem inputs (const arrays, scalar params,
