@@ -281,6 +281,39 @@ class TestBsrIntegration:
             os.environ.pop("THALLO_AFFINE")
         np.testing.assert_allclose(c_on, c_off, rtol=1e-5)
 
+    def test_update_inputs_structure_change_retraces(self):
+        """Swapping a structured (grid) graph for an unstructured
+        (shuffled) one via update_inputs must drop the affine plans and
+        retrace (plans ride the consts pytree as static aux): the
+        continued solve matches a from-scratch shuffled solve."""
+        from thallo_tpu.models import arap_mesh_deformation as arap
+
+        side = 32
+        ai = arap.synthetic_inputs(side=side)
+        rng = np.random.default_rng(9)
+        order = rng.permutation(len(ai["V0"]))
+        sh_v0 = np.asarray(ai["V0"])[order]
+        sh_v1 = np.asarray(ai["V1"])[order]
+
+        spec = arap.make_spec()
+        N, E = side * side, len(ai["V0"])
+        plan = spec.plan({"N": N, "E": E}, solver="gauss_newton")
+        plan.set_solver_parameter("nIterations", 6)
+        plan.set_solver_parameter("lIterations", 8)
+        plan.init(ai)
+        plan.run_steps(2)  # grid edges: affine plans active
+        plan.update_inputs({"V0": sh_v0, "V1": sh_v1})
+        plan.run_steps(2)  # shuffled: plans must be gone, gather path
+
+        # oracle: same trajectory built from scratch (edge order is
+        # energy-invariant, so both phases solve the same problem)
+        plan2 = spec.plan({"N": N, "E": E}, solver="gauss_newton")
+        plan2.set_solver_parameter("nIterations", 6)
+        plan2.set_solver_parameter("lIterations", 8)
+        plan2.init(ai)
+        plan2.run_steps(4)
+        np.testing.assert_allclose(plan.cost(), plan2.cost(), rtol=1e-4)
+
     def test_affine_env_off_same_answer_small(self):
         """Below the BSR threshold (dense-JTJ schedule) the row-major
         gather/scatter path carries the plans — same answer with
