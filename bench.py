@@ -215,10 +215,7 @@ def bench_arap_marginal(side=256, l_lo=10, l_hi=110, n_steps=5,
     N = side * side
     ai = arap.synthetic_inputs(side=side)
     if shuffle_edges:
-        order = np.random.default_rng(0).permutation(len(ai["V0"]))
-        ai = dict(ai)
-        ai["V0"] = np.asarray(ai["V0"])[order]
-        ai["V1"] = np.asarray(ai["V1"])[order]
+        ai = arap.shuffle_edges(ai)
     E = len(ai["V0"])
     spec = arap.make_spec()
     plan = spec.plan({"N": N, "E": E}, solver="gauss_newton")

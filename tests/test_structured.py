@@ -144,6 +144,45 @@ class TestSlotPlans:
         idx = rng.permutation(1000).astype(np.int32)
         assert structured.slot_gather_plan(idx, 1000) is None
 
+    def test_scatter_overlapping_rows(self):
+        """scatter_slot_plan_rows' k>1 overlapping-row branch (c1 < W),
+        exercised with a hand-built plan against the segment_sum
+        oracle (slot_gather_plan normalizes such boxes away, so this
+        path is only reachable by direct callers)."""
+        import jax
+
+        H, W, c1, b = 4, 7, 3, 2
+        idx = (b + np.arange(H)[:, None] * c1
+               + np.arange(W)[None, :]).reshape(-1)
+        N = int(idx.max()) + 3
+        segs = ((0, H, W, b, c1, 1),)
+        rng = np.random.default_rng(10)
+        vals = rng.normal(size=(H * W, 2)).astype(np.float32)
+        out = structured.scatter_slot_plan_rows(jnp.asarray(vals), segs, N)
+        oracle = np.asarray(jax.ops.segment_sum(
+            jnp.asarray(vals), jnp.asarray(idx), num_segments=N))
+        np.testing.assert_allclose(np.asarray(out), oracle, rtol=1e-6,
+                                   atol=1e-6)
+
+    def test_broadcast_rows_slot_plan(self):
+        """Identical-row boxes (c1 == 0) stay whole in gather plans
+        (broadcast windows) and scatter back correctly."""
+        import jax
+
+        row = np.arange(5, 12, dtype=np.int32)
+        idx = np.tile(row, 6)  # 6 identical rows
+        plan = structured.slot_gather_plan(idx, 20)
+        assert plan is not None and len(plan) == 1
+        srcT = np.random.default_rng(11).normal(size=(2, 20)).astype(np.float32)
+        g = structured.apply_slot_plan_minor(jnp.asarray(srcT), plan)
+        np.testing.assert_array_equal(np.asarray(g), srcT[:, idx])
+        vals = np.random.default_rng(12).normal(
+            size=(len(idx), 2)).astype(np.float32)
+        s = structured.scatter_slot_plan_rows(jnp.asarray(vals), plan, 20)
+        oracle = np.asarray(jax.ops.segment_sum(
+            jnp.asarray(vals), jnp.asarray(idx), num_segments=20))
+        np.testing.assert_allclose(np.asarray(s), oracle, rtol=1e-6, atol=1e-6)
+
     def test_rows_gather_and_scatter_transpose(self):
         """apply_slot_plan_rows == take and scatter_slot_plan_rows ==
         segment_sum on grid-mesh and repeat index arrays."""
@@ -180,11 +219,7 @@ class TestBsrIntegration:
 
         ai = arap.synthetic_inputs(side=side)
         if shuffle:
-            rng = np.random.default_rng(5)
-            order = rng.permutation(len(ai["V0"]))
-            ai = dict(ai)
-            ai["V0"] = np.asarray(ai["V0"])[order]
-            ai["V1"] = np.asarray(ai["V1"])[order]
+            ai = arap.shuffle_edges(ai, seed=5)
         spec = arap.make_spec()
         N, E = side * side, len(ai["V0"])
         plan = spec.plan({"N": N, "E": E}, solver="gauss_newton")

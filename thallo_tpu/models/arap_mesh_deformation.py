@@ -35,6 +35,17 @@ def make_spec():
     return load_energy(ENERGY, filename="arap_mesh_deformation.py")
 
 
+def shuffle_edges(inputs, seed=0):
+    """Randomize the edge order (the energy is edge-order invariant) so
+    the structured-index fast path cannot apply — the unstructured-graph
+    benchmark/test variant."""
+    order = np.random.default_rng(seed).permutation(len(inputs["V0"]))
+    out = dict(inputs)
+    out["V0"] = np.asarray(inputs["V0"])[order]
+    out["V1"] = np.asarray(inputs["V1"])[order]
+    return out
+
+
 def synthetic_inputs(side=16, seed=0, w_fit=10.0, w_reg=1.0):
     """A grid mesh (side x side vertices, 4-neighbor edges) with two
     corner constraints pulled apart — the standard ARAP setup."""

@@ -111,12 +111,36 @@ def detect_segments(idx: np.ndarray, max_segments: int = 32
     return tuple(segs)
 
 
-def normalize_segments(segs, max_segments: int = 32, split_limit: int = 4
+_DETECT_MEMO: dict = {}
+
+
+def detect_segments_cached(idx: np.ndarray, max_segments: int = 32
+                           ) -> Optional[Tuple[Segment, ...]]:
+    """detect_segments with a small content-keyed memo: init runs
+    detection on the same index arrays from both prepared_consts (slot
+    plans) and build_group_bsr (table keying)."""
+    import hashlib
+
+    a = np.ascontiguousarray(np.asarray(idx).reshape(-1))
+    key = (a.shape[0], max_segments,
+           hashlib.blake2b(a.tobytes(), digest_size=16).digest())
+    if key not in _DETECT_MEMO:
+        if len(_DETECT_MEMO) > 64:
+            _DETECT_MEMO.clear()
+        _DETECT_MEMO[key] = detect_segments(a, max_segments)
+    return _DETECT_MEMO[key]
+
+
+def normalize_segments(segs, max_segments: int = 32, split_limit: int = 4,
+                       allow_broadcast_rows: bool = False
                        ) -> Optional[Tuple[Segment, ...]]:
     """Make every segment independently executable and overlap-free:
     boxes whose rows overlap in value space (row_coeff < W, e.g. two
     direction groups greedily merged into one box) are split into
-    single-row runs when small.  Returns None when the result would be
+    single-row runs when small.  allow_broadcast_rows keeps
+    identical-row boxes (c1 == 0) whole — fine for gather plans
+    (window broadcasts), NOT for BSR column keying (an unknown would
+    repeat within the segment).  Returns None when the result would be
     unstructured (too many segments / strided rows)."""
     if segs is None:
         return None
@@ -132,10 +156,13 @@ def normalize_segments(segs, max_segments: int = 32, split_limit: int = 4
         if c2 != 1:
             return None
         if H > 1 and c1 < W:
-            if H > split_limit:
+            if allow_broadcast_rows and c1 == 0:
+                norm.append((s0, H, W, b, 0, 1))  # identical rows
+            elif H > split_limit:
                 return None
-            for r in range(H):
-                norm.append((s0 + r * W, 1, W, b + r * c1, 0, 1))
+            else:
+                for r in range(H):
+                    norm.append((s0 + r * W, 1, W, b + r * c1, 0, 1))
         else:
             norm.append((s0, H, W, b, c1, c2))
     if len(norm) > max_segments:
@@ -272,7 +299,8 @@ def slot_gather_plan(idx: np.ndarray, src_len: int,
     bounds (slot gathers have no mask to hide garbage)."""
     if not enabled():
         return None
-    segs = normalize_segments(detect_segments(idx, max_segments), max_segments)
+    segs = normalize_segments(detect_segments_cached(idx), max_segments,
+                              allow_broadcast_rows=True)
     if segs is None:
         return None
     idx = np.asarray(idx).reshape(-1)

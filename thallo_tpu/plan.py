@@ -454,7 +454,7 @@ class Plan:
                 n_t = sum(len(pl) for pl in bsr.perm_plans)
                 n_cp = sum(p is not None for pl in bsr.col_plans
                            if pl is not None for p in pl)
-                n_ct = sum(len(c_.shape) and c_.shape[0] for c_ in bsr.cols)
+                n_ct = sum(c_.shape[0] for c_ in bsr.cols)  # cols are [D, N]
                 print(f"[thallo_tpu] group {gp.name}: BSR columns planned "
                       f"{n_p}/{n_t} (row tables), {n_cp}/{n_ct} (col tables)")
 

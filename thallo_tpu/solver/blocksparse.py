@@ -105,7 +105,7 @@ def _seg_keyed_table(idx, N, R, max_waste, max_pad_extra):
     payload gather for that column lowers to windowed slices (zero
     per-index cost).  Returns None when the index array is unstructured
     (falls back to rank keying)."""
-    segs = structured.detect_segments(idx) if structured.enabled() else None
+    segs = structured.detect_segments_cached(idx) if structured.enabled() else None
     segs = structured.normalize_segments(segs)
     if segs is None:
         return None
@@ -402,15 +402,23 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
         if plans is not None and any(p is not None for p in plans):
             # structured fast path: windowed slices replace the row
             # gather for affine columns (ops/structured.py); invalid
-            # lanes read in-range garbage that the mask zeroes
-            gparts = []
+            # lanes read in-range garbage that the mask zeroes.
+            # Unplanned columns batch into ONE gather.
+            gparts = [None] * D
             for d in range(D):
-                gd = (structured.apply_col_plan_rows(payload, plans[d], N)
-                      if plans[d] is not None else None)
-                if gd is None:
-                    gd = jnp.take(payload, perm[:, d], axis=0)
-                gparts.append(gd * mask[:, d][:, None])
-            g = jnp.stack(gparts, axis=1)  # [N, D, F]
+                if plans[d] is not None:
+                    gparts[d] = structured.apply_col_plan_rows(
+                        payload, plans[d], N)
+            unplanned = [d for d in range(D) if gparts[d] is None]
+            if unplanned:
+                sub = jnp.take(
+                    payload, perm[:, unplanned].reshape(-1), axis=0
+                ).reshape(N, len(unplanned), F)
+                for k, d in enumerate(unplanned):
+                    gparts[d] = sub[:, k]
+            g = jnp.stack(
+                [gd * mask[:, d][:, None] for d, gd in enumerate(gparts)],
+                axis=1)  # [N, D, F]
         else:
             g = jnp.take(payload, perm.reshape(-1), axis=0).reshape(
                 N, D, F
@@ -485,14 +493,18 @@ def bsr_apply(bsr: GroupBsr, blocks, p):
             # structured fast path (ops/structured.py): affine columns
             # read p through windowed slices — zero per-index cost on
             # the PCG-step hot loop; garbage on invalid lanes multiplies
-            # zeroed blocks
-            gs = []
+            # zeroed blocks.  Unplanned columns batch into ONE gather.
+            gs = [None] * D
             for d in range(D):
-                gd = (structured.apply_col_plan_minor(cat, plans[d], N)
-                      if plans[d] is not None else None)
-                if gd is None:
-                    gd = jnp.take(cat, bsr.cols[ct][d], axis=1)
-                gs.append(gd)
+                if plans[d] is not None:
+                    gs[d] = structured.apply_col_plan_minor(cat, plans[d], N)
+            unplanned = [d for d in range(D) if gs[d] is None]
+            if unplanned:
+                sub = jnp.take(
+                    cat, bsr.cols[ct][unplanned].reshape(-1), axis=1
+                ).reshape(cat.shape[0], len(unplanned), N)
+                for k, d in enumerate(unplanned):
+                    gs[d] = sub[:, k]
             g = jnp.stack(gs, axis=1)  # [sum C, D, N]
             off = 0
             for gidx, img, C in entries:
