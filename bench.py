@@ -317,6 +317,14 @@ def main():
             extra[f"{name}_schur_time_to_target_s"] = round(tt, 4)
         except Exception as e:  # noqa: BLE001
             extra[f"{name}_schur_error"] = str(e)[:120]
+        try:
+            # exact reduced solve (DENSE_SCHUR class): lIterations is
+            # irrelevant, each outer step solves the camera system exactly
+            tt, _ = bench_ba_time_to_target(
+                linear_solver="schur_dense", l_iters=1, **kw)
+            extra[f"{name}_schur_dense_time_to_target_s"] = round(tt, 4)
+        except Exception as e:  # noqa: BLE001
+            extra[f"{name}_schur_dense_error"] = str(e)[:120]
     try:
         ms, E, ips = bench_arap_marginal()
         extra["arap_261k_marginal_pcg_iter_ms"] = round(ms, 3)

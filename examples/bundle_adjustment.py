@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--schur", action="store_true",
                     help="Schur-complement reduced solve (eliminate "
                          "points, PCG on the camera system)")
+    ap.add_argument("--schur-dense", action="store_true",
+                    help="materialized Schur complement, exact dense "
+                         "solve of the camera system per outer "
+                         "iteration (Ceres DENSE_SCHUR class)")
     ap.add_argument("--out", default="results/bundle_adjustment")
     args = ap.parse_args()
 
@@ -47,7 +51,9 @@ def main():
         nonlinear_iters=args.iters,
         linear_iters=args.liters,
         out_dir=args.out,
-        plan_options=({"linear_solver": "schur_pcg"} if args.schur else None),
+        plan_options=(
+            {"linear_solver": "schur_dense"} if args.schur_dense
+            else {"linear_solver": "schur_pcg"} if args.schur else None),
     )
     for solver, r in results.items():
         print(f"{solver}: {r['initial_cost']:.6f} -> {r['final_cost']:.8f} "

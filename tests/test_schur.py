@@ -111,7 +111,9 @@ r = Residuals(couple=[x(0) * y(0) - a(0),
 
     d_direct = first_delta(linear_solver="direct")
     for opts in ({"linear_solver": "schur_pcg"},           # auto: Y (larger)
-                 {"linear_solver": "schur_pcg", "schur_eliminate": ["X"]}):
+                 {"linear_solver": "schur_pcg", "schur_eliminate": ["X"]},
+                 {"linear_solver": "schur_dense"},         # materialized S
+                 {"linear_solver": "schur_dense", "schur_eliminate": ["X"]}):
         d = first_delta(**opts)
         for k in d_direct:
             scale = np.abs(d_direct[k]).max()
@@ -206,3 +208,46 @@ r = Residuals(fit=X(x, y) - A(x, y),
     plan.init({"X": t.copy(), "A": t})
     with pytest.raises(ValueError, match="no eliminable unknown"):
         plan.step()
+
+
+def test_schur_dense_matches_direct_on_ba():
+    """linear_solver="schur_dense" (materialized Schur complement, the
+    Ceres DENSE_SCHUR class) is exact: each LM step must match the
+    dense direct solve of the same damped normal equations."""
+    ins, sizes = _ba(n_cameras=8, n_points=64, obs_per_point=4, seed=3)
+    pd = _plan(sizes, n_iter=1, l_iter=1, linear_solver="direct")
+    pd.init({k: np.copy(v) for k, v in ins.items()})
+    pd.solve()
+    ps = _plan(sizes, n_iter=1, l_iter=1, linear_solver="schur_dense")
+    ps.init({k: np.copy(v) for k, v in ins.items()})
+    ps.solve()
+    for k, v in pd._U.items():
+        ref = np.asarray(v)
+        got = np.asarray(ps._U[k])
+        assert np.abs(ref - got).max() < 5e-5 * (np.abs(ref).max() + 1e-12), k
+    # multi-step: both exact solvers land on the same converged cost
+    pd2 = _plan(sizes, n_iter=8, l_iter=1, linear_solver="direct")
+    c0 = pd2.init({k: np.copy(v) for k, v in ins.items()})
+    fd = pd2.solve()
+    ps2 = _plan(sizes, n_iter=8, l_iter=1, linear_solver="schur_dense")
+    ps2.init({k: np.copy(v) for k, v in ins.items()})
+    fs = ps2.solve()
+    assert fs < 1e-2 * c0
+    assert np.isclose(fd, fs, rtol=2e-2), (fd, fs)
+
+
+def test_schur_dense_gauss_newton():
+    ins, sizes = _ba(n_cameras=6, n_points=48, obs_per_point=4, seed=4)
+    c0, f = _solve(_plan(sizes, solver="gauss_newton", n_iter=8,
+                         linear_solver="schur_dense"), ins)
+    assert f < 1e-2 * c0
+
+
+def test_schur_dense_size_gate():
+    """The kept system's DOF count is gated by schur_dense_max."""
+    ins, sizes = _ba(n_cameras=8, n_points=64, obs_per_point=4, seed=3)
+    plan = _plan(sizes, n_iter=1, linear_solver="schur_dense",
+                 schur_dense_max=10)  # 8 cameras x 9 = 72 DOF > 10
+    with pytest.raises(ValueError, match="schur_dense_max"):
+        plan.init({k: np.copy(v) for k, v in ins.items()})
+        plan.solve()

@@ -102,12 +102,14 @@ class Plan:
                   "timing_level", "verbosity", "guarded_invert_type",
                   "jacobi_scaling", "linear_solver", "schur_eliminate", "trace_dir",
                   "profile_compile", "debug_check_finite", "block_dtype",
-                  "steps_per_dispatch", "preconditioner"}
+                  "steps_per_dispatch", "preconditioner", "schur_dense_max"}
         bad = set(options) - _known
         if bad:
             raise ValueError(f"unknown plan option(s): {sorted(bad)}")
-        if options.get("linear_solver", "pcg") not in ("pcg", "direct", "schur_pcg"):
-            raise ValueError("linear_solver must be 'pcg', 'direct' or 'schur_pcg'")
+        if options.get("linear_solver", "pcg") not in (
+                "pcg", "direct", "schur_pcg", "schur_dense"):
+            raise ValueError("linear_solver must be 'pcg', 'direct', "
+                             "'schur_pcg' or 'schur_dense'")
         if options.get("guarded_invert_type", "CERES") not in (
                 "CERES", "MODIFIED_CERES", "EPSILON_ADD"):
             raise ValueError("invalid guarded_invert_type")

@@ -212,13 +212,19 @@ class CompiledSolver:
         # gauss_newton.t:22,1280-1328)
         self.direct_solve = bool(options.get("linear_solver", "pcg") == "direct")
         # Schur-complement reduced solve (BEYOND the reference; the
-        # Ceres ITERATIVE_SCHUR idea): eliminate an unknown image whose
-        # J^T J self-coupling is exactly block-diagonal (BA points: each
-        # observation touches one point) and run PCG on the reduced
-        # keep-system S = A_kk - A_ke A_ee^-1 A_ek, which is smaller and
-        # far better conditioned.  Opt in with linear_solver="schur_pcg";
+        # Ceres ITERATIVE_SCHUR / DENSE_SCHUR ideas): eliminate an
+        # unknown image whose J^T J self-coupling is exactly
+        # block-diagonal (BA points: each observation touches one point)
+        # and solve the reduced keep-system S = A_kk - A_ke A_ee^-1 A_ek,
+        # which is smaller and far better conditioned.  Opt in with
+        # linear_solver="schur_pcg" (implicit S, PCG) or "schur_dense"
+        # (S materialized from the block-sparse pair blocks, exact dense
+        # solve — best when the kept system is small, e.g. BA cameras);
         # schur_eliminate names the image(s), default = auto-pick.
-        self.schur = bool(options.get("linear_solver", "pcg") == "schur_pcg")
+        ls = options.get("linear_solver", "pcg")
+        self.schur = ls in ("schur_pcg", "schur_dense")
+        self.schur_dense = ls == "schur_dense"
+        self.schur_dense_max = int(options.get("schur_dense_max", 8192))
         se = options.get("schur_eliminate")
         self.schur_eliminate = list(se) if se else None
         # bf16 block-sparse JtJ storage (dots/preconditioner stay f32):
@@ -972,6 +978,157 @@ class CompiledSolver:
             raise ValueError("schur_pcg must keep at least one unknown image")
         return keep, elim
 
+    def _schur_dense_solve(self, state, consts, keep, elim, Einv, b):
+        """Materialized Schur complement (the Ceres DENSE_SCHUR class;
+        the reference has no analog): assemble the reduced keep-system
+        S = A_kk - A_ke A_ee^-1 A_ek densely from the block-sparse pair
+        blocks already materialized this iteration, then solve exactly.
+        One exact reduced solve per outer iteration — no inner-iteration
+        tuning — at a cost that only pays off while the kept system is
+        small (BA: cameras; gated by schur_dense_max total keep DOF).
+
+        Assembly: the correction term groups observations by eliminated
+        element through the elim image's BSR row tables — for each pair
+        (u, v) of keep couplings of elim element p, the block
+        -B_u^T G_p B_v accumulates at keep-element pair
+        (cols_u[d_u, p], cols_v[d_v, p]) via one segment_sum."""
+        dtype = self.dtype
+        jac_store = state["jac_store"]
+        elements = {im.name: (int(np.prod([d.size for d in im.dims])),
+                              im.channels) for im in self.spec.unknowns}
+        offs, K = {}, 0
+        for n in keep:
+            offs[n] = K
+            Nn, Cn = elements[n]
+            K += Nn * Cn
+        if K > self.schur_dense_max:
+            raise ValueError(
+                f"linear_solver='schur_dense': kept system has {K} DOF > "
+                f"schur_dense_max={self.schur_dense_max}; use schur_pcg "
+                "or raise the plan option schur_dense_max")
+
+        kk_diag = {}        # keep image -> [C*C, N] block diagonal
+        kk_cross = []       # (a, b, B [Ca,Cb,D,Na], cols [D,Na]|None)
+        couplings = {e: [] for e in elim}  # elim -> [(B, cols, keep_img)]
+        for gi, gp in enumerate(self.groups):
+            g = gp.jac_group()
+            if not g.jac_slots:
+                continue
+            entry = jac_store.get(str(gi))
+            c = consts[gi]
+            bsr = c.get("bsr") if isinstance(c, dict) else None
+            if bsr is None or entry is None or "bsr" not in entry:
+                raise ValueError(
+                    "linear_solver='schur_dense' requires every residual "
+                    f"group on the block-sparse path; group {gp.name} is "
+                    "not (schedule it with JtJ.set_sparse(True))")
+            blocks = entry["bsr"]
+            for p_idx, pr in enumerate(bsr.pairs):
+                i, j = pr[0], pr[1]
+                a, b2 = bsr.slot_images[i], bsr.slot_images[j]
+                Ca, Cb = bsr.slot_channels[i], bsr.slot_channels[j]
+                blk = blocks[p_idx].astype(dtype)
+                Na = elements[a][0]
+                if pr[2] == "diag":
+                    cols = None
+                    B = blk.reshape(Ca, Cb, 1, Na)
+                else:
+                    cols = bsr.cols[bsr.col_gathers[pr[3]][0]]  # [D, Na]
+                    B = blk.reshape(Ca, Cb, cols.shape[0], Na)
+                if a in elim:
+                    if b2 in keep:
+                        couplings[a].append((B, cols, b2))
+                    continue  # elim-elim is the (damped, inverted) Einv
+                if b2 in elim:
+                    continue  # transpose of an elim-keep pair
+                if a == b2 and pr[2] == "diag":
+                    kk_diag[a] = kk_diag.get(a, 0) + blk
+                else:
+                    kk_cross.append((a, b2, B, cols))
+
+        S = jnp.zeros((K, K), dtype)
+
+        def add_blocks(S, a, bname, vals, ia, ib):
+            """vals [M, Ca, Cb] accumulated at element-pair (ia, ib)."""
+            Na, Ca = elements[a]
+            Nb, Cb = elements[bname]
+            seg = jax.ops.segment_sum(
+                vals.reshape(vals.shape[0], Ca * Cb),
+                ia * Nb + ib, num_segments=Na * Nb)
+            blockmat = jnp.transpose(
+                seg.reshape(Na, Nb, Ca, Cb), (0, 2, 1, 3))
+            return S.at[offs[a]:offs[a] + Na * Ca,
+                        offs[bname]:offs[bname] + Nb * Cb].add(
+                blockmat.reshape(Na * Ca, Nb * Cb))
+
+        # keep-keep off-diagonal couplings
+        for (a, bname, B, cols) in kk_cross:
+            Ca, Cb, D, Na = B.shape
+            ia = jnp.broadcast_to(jnp.arange(Na)[None], (D, Na)).reshape(-1)
+            ib = (cols.reshape(-1) if cols is not None
+                  else jnp.arange(Na))
+            vals = jnp.transpose(B, (2, 3, 0, 1)).reshape(D * Na, Ca, Cb)
+            S = add_blocks(S, a, bname, vals, ia, ib)
+
+        # the Schur correction: -A_ke A_ee^-1 A_ek per eliminated image
+        for e in elim:
+            cps = couplings[e]
+            if not cps:
+                continue
+            Ne, Ce = elements[e]
+            G3 = Einv[e].reshape(Ce, Ce, Ne)
+            GB = [jnp.sum(G3[:, :, None, None, :] * B[None], axis=1)
+                  for (B, _c, _k) in cps]  # [Ce, Ck, D, Ne] each
+            for u, (Bu, colsu, ku) in enumerate(cps):
+                iu = (colsu if colsu is not None
+                      else jnp.arange(Ne)[None, :])  # [Du, Ne]
+                for v, (_Bv, colsv, kv) in enumerate(cps):
+                    iv = (colsv if colsv is not None
+                          else jnp.arange(Ne)[None, :])
+                    # T[cku, du, ckv, dv, n] = sum_ce Bu.GBv
+                    T = jnp.sum(
+                        Bu[:, :, :, None, None, :]
+                        * GB[v][:, None, None, :, :, :], axis=0)
+                    Cku, Du, Ckv, Dv, _ = T.shape
+                    vals = jnp.transpose(T, (1, 3, 4, 0, 2)).reshape(
+                        Du * Dv * Ne, Cku, Ckv)
+                    ia = jnp.broadcast_to(
+                        iu[:, None, :], (Du, Dv, Ne)).reshape(-1)
+                    ib = jnp.broadcast_to(
+                        iv[None, :, :], (Du, Dv, Ne)).reshape(-1)
+                    S = add_blocks(S, ku, kv, -vals, ia, ib)
+
+        # keep-keep block diagonal + exact damping + identity rows for
+        # excluded elements (mirrors _invert_damped_blocks / the dense
+        # direct path's regularization)
+        CtC, rawdiag, masks = state["CtC"], state["rawdiag"], state["masks"]
+        for n in keep:
+            Nn, Cn = elements[n]
+            bd = kk_diag.get(n)
+            if bd is None:
+                bd = jnp.zeros((Cn * Cn, Nn), dtype)
+            diag_ix = jnp.arange(Cn) * Cn + jnp.arange(Cn)
+            bdiag = bd[diag_ix]
+            raw = rawdiag[n].reshape(Nn, Cn).T.astype(dtype)
+            nd = bdiag + jnp.maximum(raw - bdiag, 0.0)
+            if self.uses_lambda:
+                nd = nd + CtC[n].reshape(Nn, Cn).T.astype(dtype)
+            m = masks[n].reshape(-1).astype(dtype)
+            nd = nd + (1.0 - m)[None, :]
+            bd = bd.at[diag_ix].set(nd)
+            vals = jnp.transpose(bd.reshape(Cn, Cn, Nn), (2, 0, 1))
+            S = add_blocks(S, n, n, vals, jnp.arange(Nn), jnp.arange(Nn))
+
+        b_flat = jnp.concatenate(
+            [b[n].reshape(-1).astype(dtype) for n in keep])
+        delta_flat = jnp.linalg.solve(S, b_flat)
+        out = {}
+        for n in keep:
+            Nn, Cn = elements[n]
+            out[n] = delta_flat[offs[n]:offs[n] + Nn * Cn].reshape(
+                state["r0"][n].shape)
+        return out
+
     def _linear_solve_schur(self, state, sp, damped, safe_div, consts):
         """PCG on the reduced keep-system S = A_kk - A_ke A_ee^-1 A_ek
         (A = damped J^T J), then back-substitution for the eliminated
@@ -1005,6 +1162,13 @@ class CompiledSolver:
         # reduced RHS: b_k - A_ke A_ee^-1 b_e
         v = damped(pad(einv(elim_of(bfull))))
         b = tree_sub(keep_of(bfull), keep_of(v))
+
+        if self.schur_dense:
+            delta_k = self._schur_dense_solve(state, consts, keep, elim,
+                                              Einv, b)
+            w = damped(pad(delta_k))
+            delta_e = einv({k: bfull[k] - w[k] for k in elim})
+            return pad({**delta_k, **delta_e})
 
         def S_apply(xk):
             t = damped(pad(xk))
