@@ -30,6 +30,7 @@ PERF.md "the scatter wall"):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -511,7 +512,21 @@ def bsr_apply(bsr: GroupBsr, blocks, p):
                 pg[gidx] = g[off:off + C]
                 off += C
             continue
-        g = jnp.take(cat, bsr.cols[ct].reshape(-1), axis=1)
+        S_src = cat.shape[1]
+        onehot_max = int(os.environ.get("THALLO_ONEHOT_COLS", "0"))
+        if 0 < S_src <= onehot_max and D * N > 4 * S_src:
+            # experimental: small-source gathers as a one-hot MXU matmul
+            # (~6.5 cycles/idx vs ~8 for take at a 256-row source,
+            # PERF.md "the per-index gather floor").  Off by default;
+            # set THALLO_ONEHOT_COLS=<max source rows> before plan
+            # creation to enable.
+            ids = bsr.cols[ct].reshape(-1)
+            oh = (ids[None, :] == jnp.arange(S_src)[:, None]).astype(cat.dtype)
+            g = jax.lax.dot_general(
+                cat, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(cat.dtype)
+        else:
+            g = jnp.take(cat, bsr.cols[ct].reshape(-1), axis=1)
         off = 0
         for gidx, img, C in entries:
             pg[gidx] = g[off:off + C].reshape(C, D, N)
