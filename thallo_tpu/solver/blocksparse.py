@@ -513,13 +513,16 @@ def bsr_apply(bsr: GroupBsr, blocks, p):
                 off += C
             continue
         S_src = cat.shape[1]
-        onehot_max = int(os.environ.get("THALLO_ONEHOT_COLS", "0"))
+        onehot_max = int(os.environ.get("THALLO_ONEHOT_COLS", "512"))
         if 0 < S_src <= onehot_max and D * N > 4 * S_src:
-            # experimental: small-source gathers as a one-hot MXU matmul
-            # (~6.5 cycles/idx vs ~8 for take at a 256-row source,
-            # PERF.md "the per-index gather floor").  Off by default;
-            # set THALLO_ONEHOT_COLS=<max source rows> before plan
-            # creation to enable.
+            # small-source gathers as a one-hot MXU matmul.  Measured on
+            # TPU v5e (artifacts/tpu_onehot.jsonl, BA 250k obs / 256
+            # cameras): marginal PCG iteration 2.73 -> 0.53 ms (5.1x) —
+            # XLA fuses the comparison into the matmul operand read, so
+            # the per-index gather cost disappears into MXU work that is
+            # ~free at these sizes (2*S*C*DN FLOPs ~ 1 GFLOP).  Default
+            # threshold 512 source rows; THALLO_ONEHOT_COLS overrides
+            # (0 disables) — read at trace time, i.e. plan creation.
             ids = bsr.cols[ct].reshape(-1)
             oh = (ids[None, :] == jnp.arange(S_src)[:, None]).astype(cat.dtype)
             g = jax.lax.dot_general(
