@@ -67,9 +67,14 @@ class GroupBsr:
     # that alters the plans retraces.
     perm_plans: Tuple[Optional[tuple], ...] = ()
     col_plans: Tuple[Optional[tuple], ...] = ()
+    # raw per-row-table index arrays ([R] int32, residual -> unknown
+    # element): lets bsr_setup express the jtr/diag row aggregation as a
+    # one-hot MXU segment-sum for small-N tables (no gather, no payload
+    # transpose) — the setup-side twin of bsr_apply's one-hot col gather.
+    idxs: Tuple[Optional[jnp.ndarray], ...] = ()
 
     def tree_flatten(self):
-        children = (self.perms, self.masks, self.cols)
+        children = (self.perms, self.masks, self.cols, self.idxs)
         aux = (self.slot_row, self.pairs, self.col_gathers, self.slot_images,
                tuple(self.slot_channels), tuple(sorted(self.image_shapes.items())),
                self.row_dims, self.col_row, self.perm_plans, self.col_plans)
@@ -77,12 +82,12 @@ class GroupBsr:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        perms, masks, cols = children
+        perms, masks, cols, idxs = children
         (slot_row, pairs, col_gathers, slot_images, slot_channels, shapes,
          row_dims, col_row, perm_plans, col_plans) = aux
         return cls(perms, masks, cols, slot_row, pairs, col_gathers,
                    slot_images, slot_channels, dict(shapes), row_dims, col_row,
-                   perm_plans, col_plans)
+                   perm_plans, col_plans, idxs)
 
 
 def _plan_cost_ok(plan, N: int) -> bool:
@@ -318,6 +323,7 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
         col_row=tuple(col_row_of),
         perm_plans=tuple(rt["plans"] for rt in row_tables),
         col_plans=tuple(col_plans_of),
+        idxs=tuple(jnp.asarray(rt["idx"], jnp.int32) for rt in row_tables),
     )
 
 
