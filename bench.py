@@ -130,14 +130,24 @@ def bench_ba_time_to_target(n_cameras, n_points, obs_per_point=4,
 
 
 def bench_bundle_adjustment(n_cameras, n_points, obs_per_point=4, n_steps=16,
-                            l_iters=16, scan_k=8, reps=2):
-    """The second north-star workload (BASELINE.json): Snavely BA."""
+                            l_iters=16, scan_k=8, reps=2, skew=False):
+    """The second north-star workload (BASELINE.json): Snavely BA.
+    skew=True uses the BAL-statistics power-law degree scene
+    (models/bundle_adjustment.skewed_inputs — the degree regime of real
+    BAL files) and asserts the block-sparse path stayed ACTIVE on it."""
     from thallo_tpu.models import bundle_adjustment as ba
 
-    inputs, _ = ba.synthetic_inputs(
-        n_cameras=n_cameras, n_points=n_points, obs_per_point=obs_per_point)
+    if skew:
+        inputs, _ = ba.skewed_inputs(
+            n_cameras=n_cameras, n_points=n_points,
+            target_obs=obs_per_point * n_points)
+    else:
+        inputs, _ = ba.synthetic_inputs(
+            n_cameras=n_cameras, n_points=n_points,
+            obs_per_point=obs_per_point)
     O = len(inputs["oToC"])
     spec = ba.make_spec()
+    t_compile = time.perf_counter()
     plan = spec.plan({"C": n_cameras, "P": n_points, "O": O},
                      solver="levenberg_marquardt")
     plan.set_solver_parameter("nIterations", 10_000)
@@ -145,12 +155,20 @@ def bench_bundle_adjustment(n_cameras, n_points, obs_per_point=4, n_steps=16,
     plan.set_solver_parameter("q_tolerance", 0.0)  # keep the inner loop full
     plan.set_solver_parameter("function_tolerance", 0.0)
     c0 = plan.init(inputs)
+    if skew:
+        bsrs = [c.get("bsr") for c in plan._prep["consts"]
+                if isinstance(c, dict)]
+        assert any(b is not None for b in bsrs), \
+            "skewed scene fell off the block-sparse path"
     # LM trust-region stop stays ON DEVICE inside the scanned dispatch
     # (plan._scan_step): no per-step host sync, like the reference's
     # fused-kernel steps but without its per-iter D2H of Q
     plan.steps_per_dispatch = scan_k
     plan.run_steps(2 * scan_k)  # warm: compiles AND settles the relay
     jax.block_until_ready(plan._U)
+    # plan construction + init + first compiled dispatch (the reference
+    # names compile time as its known hotspot, thallo.t:2644)
+    compile_s = time.perf_counter() - t_compile
     # best-of-reps windows: single windows see multi-ms relay jitter.
     # Scanned steps no-op (lax.cond frozen branch) once the device-side
     # trust-region stop fires, so wall time is divided by the number of
@@ -180,6 +198,37 @@ def bench_bundle_adjustment(n_cameras, n_points, obs_per_point=4, n_steps=16,
         degraded = True
     iters_per_s = l_iters / per_step
 
+    # marginal PCG-iteration time (two-point probe, single steps) ->
+    # roofline: achieved HBM GB/s vs peak (utils/roofline.py)
+    roof = {}
+    try:
+        from thallo_tpu.utils.roofline import roofline
+
+        plan.steps_per_dispatch = 1
+        ts = {}
+        for li in (4, 44):
+            plan.set_solver_parameter("lIterations", li)
+            plan.init(inputs)
+            plan.step()
+            jax.block_until_ready(plan._U)
+            best = float("inf")
+            for _ in range(2):
+                plan.init(inputs)
+                jax.block_until_ready(plan._U)
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    plan.step()
+                jax.block_until_ready(plan._U)
+                best = min(best, (time.perf_counter() - t0) / 3)
+            ts[li] = best
+        marg_s = max((ts[44] - ts[4]) / 40.0, 1e-9)
+        roof = roofline(plan, marg_s)
+        roof["marginal_pcg_iter_ms"] = round(marg_s * 1e3, 4)
+        plan.set_solver_parameter("lIterations", l_iters)
+        plan.steps_per_dispatch = scan_k
+    except Exception as e:  # noqa: BLE001
+        roof = {"roofline_error": str(e)[:120]}
+
     # time-to-target: within 5% of the converged energy, cold restart
     converged = plan.cost()
     target = c0 - 0.95 * (c0 - converged)
@@ -199,11 +248,11 @@ def bench_bundle_adjustment(n_cameras, n_points, obs_per_point=4, n_steps=16,
         if plan.cost() <= target:
             tt = time.perf_counter() - t0
             break
-    return iters_per_s, tt, O, converged, degraded
+    return iters_per_s, tt, O, converged, degraded, roof, compile_s
 
 
 def bench_arap_marginal(side=256, l_lo=10, l_hi=110, n_steps=5,
-                        shuffle_edges=False):
+                        shuffle_edges=False, with_roofline=False):
     """Marginal PCG-iteration cost on the canonical graph energy (ARAP
     256x256 grid mesh: 65k verts / 261k edges) — the scatter-wall probe
     (PERF.md).  shuffle_edges=True randomizes the edge order so the
@@ -234,7 +283,15 @@ def bench_arap_marginal(side=256, l_lo=10, l_hi=110, n_steps=5,
     # two measured points: fixed + 16*marginal)
     marg_s = (ts[l_hi] - ts[l_lo]) / (l_hi - l_lo)
     step16 = ts[l_lo] + (16 - l_lo) * marg_s
-    return marg_s * 1e3, E, 16.0 / step16
+    roof = {}
+    if with_roofline:
+        try:
+            from thallo_tpu.utils.roofline import roofline
+
+            roof = roofline(plan, max(marg_s, 1e-9))
+        except Exception as e:  # noqa: BLE001
+            roof = {"roofline_error": str(e)[:120]}
+    return marg_s * 1e3, E, 16.0 / step16, roof
 
 
 def _preflight(timeout_s=240):
@@ -291,17 +348,29 @@ def main():
     for name, kw in (
         ("bundle_adjustment_32k", dict(n_cameras=64, n_points=8192)),
         ("bundle_adjustment_250k", dict(n_cameras=256, n_points=62500)),
+        # BAL-statistics degree skew (power-law, shuffled order): the
+        # degree regime of real BAL scenes — BSR-active asserted
+        ("bundle_adjustment_skew250k", dict(n_cameras=256, n_points=62500,
+                                            skew=True)),
         # BAL-scale: real problems run 100k-5M observations
         ("bundle_adjustment_1m", dict(n_cameras=1024, n_points=250000,
                                       n_steps=8, scan_k=4, reps=1)),
+        ("bundle_adjustment_skew1m", dict(n_cameras=1024, n_points=250000,
+                                          n_steps=8, scan_k=4, reps=1,
+                                          skew=True)),
     ):
         try:
-            ba_v, ba_tt, n_obs, _, degraded = bench_bundle_adjustment(**kw)
+            (ba_v, ba_tt, n_obs, _, degraded, roof,
+             compile_s) = bench_bundle_adjustment(**kw)
             if degraded:
                 extra[f"{name}_degraded_measurement"] = True
             extra[f"{name}_pcg_iters_per_s"] = round(ba_v, 2)
             extra[f"{name}_time_to_target_s"] = round(ba_tt, 4)
             extra[f"{name}_observations"] = n_obs
+            extra[f"{name}_compile_s"] = round(compile_s, 1)
+            for k in ("achieved_gbps", "hbm_fraction", "marginal_pcg_iter_ms"):
+                if k in roof:
+                    extra[f"{name}_{k}"] = roof[k]
         except Exception as e:  # noqa: BLE001
             extra[f"{name}_error"] = str(e)[:120]
     # Schur-complement variant: time-to-target on the same scenes
@@ -326,18 +395,25 @@ def main():
         except Exception as e:  # noqa: BLE001
             extra[f"{name}_schur_dense_error"] = str(e)[:120]
     try:
-        ms, E, ips = bench_arap_marginal()
+        ms, E, ips, roof = bench_arap_marginal(with_roofline=True)
         extra["arap_261k_marginal_pcg_iter_ms"] = round(ms, 3)
         extra["arap_261k_pcg_iters_per_s"] = round(ips, 2)
+        for k in ("achieved_gbps", "hbm_fraction"):
+            if k in roof:
+                extra[f"arap_261k_{k}"] = roof[k]
     except Exception as e:  # noqa: BLE001
         extra["arap_error"] = str(e)[:120]
     try:
         # unstructured-graph floor: same energy, shuffled edge order, so
         # the affine fast path cannot apply (honesty row — real meshes
         # are not always grids)
-        ms, E, ips = bench_arap_marginal(shuffle_edges=True)
+        ms, E, ips, roof = bench_arap_marginal(shuffle_edges=True,
+                                               with_roofline=True)
         extra["arap_261k_random_marginal_pcg_iter_ms"] = round(ms, 3)
         extra["arap_261k_random_pcg_iters_per_s"] = round(ips, 2)
+        for k in ("achieved_gbps", "hbm_fraction"):
+            if k in roof:
+                extra[f"arap_261k_random_{k}"] = roof[k]
     except Exception as e:  # noqa: BLE001
         extra["arap_random_error"] = str(e)[:120]
     out["extra"] = extra

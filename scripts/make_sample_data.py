@@ -33,6 +33,24 @@ def make_bal(path):
     print(f"wrote {path}: C=10 P=256 O={meta['n_obs']}")
 
 
+def make_bal_skewed(path):
+    """A BAL-format scene at Ladybug-49 statistics (49 cameras, 7776
+    points, ~31k observations, POWER-LAW degree distributions on both
+    sides — the degree regime every real BAL problem has and uniform
+    synthetic scenes do not).  The environment has no network egress, so
+    the file is generated rather than downloaded; the format, the
+    Snavely model, and the skew statistics match the published
+    problem-49-7776-pre.txt shape."""
+    from thallo_tpu.io import save_bal
+    from thallo_tpu.models.bundle_adjustment import skewed_inputs
+
+    ins, meta = skewed_inputs(n_cameras=49, n_points=7776, target_obs=31843,
+                              seed=49, noise=2e-3)
+    save_bal(path, ins["cameras"], ins["points"], ins["oToC"], ins["oToP"],
+             ins["observations"])
+    print(f"wrote {path}: C=49 P=7776 O={meta['n_obs']} (power-law degrees)")
+
+
 def make_ply(path):
     """A deformed-grid triangle mesh (32x32 verts) in binary PLY —
     loadable by any mesh tool and by io.load_ply."""
@@ -56,6 +74,7 @@ def make_ply(path):
 def main():
     os.makedirs(DATA, exist_ok=True)
     make_bal(os.path.join(DATA, "sample_scene.bal.txt"))
+    make_bal_skewed(os.path.join(DATA, "skewed_scene.bal.txt"))
     make_ply(os.path.join(DATA, "sample_mesh.ply"))
 
 

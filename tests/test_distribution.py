@@ -124,11 +124,21 @@ r.reg.JtJ.set_sparse(True)
             if isinstance(c, dict) and isinstance(c.get("bsr"), GroupBsr)]
     assert bsrs, "no BSR tables found in sharded prep"
     for bsr in bsrs:
-        for perm in bsr.perms:
+        # BASE row tables (full element coverage) shard by row block;
+        # overflow-level tables cover only the high-degree tail and
+        # replicate by design (they are tiny)
+        base_seen = False
+        for t, perm in enumerate(bsr.perms):
+            if bsr.row_sels[t] is not None:
+                continue
+            base_seen = True
             assert not perm.sharding.is_fully_replicated, perm.sharding
             shard_shapes = {s.data.shape for s in perm.addressable_shards}
             assert shard_shapes == {(perm.shape[0] // 8, perm.shape[1])}
-        for c in bsr.cols:
+        assert base_seen
+        for ct, c in enumerate(bsr.cols):
+            if bsr.row_sels[bsr.col_row[ct]] is not None:
+                continue
             assert not c.sharding.is_fully_replicated, c.sharding
     with mesh:
         sharded_final = plan.solve()

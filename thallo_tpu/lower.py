@@ -677,12 +677,14 @@ class LoweredGroup:
         a = jnp.asarray(inputs[im.name], dtype=self.dtype)
         return a.reshape(tuple(d.size for d in im.dims) + (im.channels,))
 
-    def prepared_consts(self, inputs, want_bsr=False):
+    def prepared_consts(self, inputs, want_bsr=False, onehot_exclude=()):
         """Everything non-differentiated, computed once per solve setup:
         const-array slot values, bounds masks, index values, params,
         sampled images — and, when the schedule materializes J^T J on a
         graph group, the static block-sparse row/col tables
-        (solver/blocksparse.py)."""
+        (solver/blocksparse.py).  onehot_exclude: image names that must
+        NOT build in one-hot row mode (schur_dense needs row tables to
+        eliminate an image)."""
         concrete = not any(
             isinstance(v, jax.core.Tracer) for v in jax.tree_util.tree_leaves(inputs)
         )
@@ -746,7 +748,8 @@ class LoweredGroup:
         if want_bsr and concrete:
             from .solver.blocksparse import build_group_bsr
 
-            bsr = build_group_bsr(self, inputs, self.dtype)
+            bsr = build_group_bsr(self, inputs, self.dtype,
+                                  onehot_exclude=onehot_exclude)
         # structured-index slot plans (ops/structured.py): when a graph
         # slot's concrete flat indices are piecewise-affine (grid meshes),
         # the channel-major gather lowers to windowed slices with zero

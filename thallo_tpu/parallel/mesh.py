@@ -74,9 +74,12 @@ def shard_bsr_tables(bsr, mesh: Mesh, name_axes: Dict[str, str]):
     table_ax = []
     for t, (perm, mask) in enumerate(zip(bsr.perms, bsr.masks)):
         dims = bsr.row_dims[t] if t < len(bsr.row_dims) else ()
+        sel = bsr.row_sels[t] if t < len(bsr.row_sels) else None
         ax = name_axes.get(dims[0]) if dims else None
         N = perm.shape[0]
-        if ax is not None and N % mesh.shape[ax] == 0:
+        # overflow levels (sel is not None) cover only the high-degree
+        # tail — small by construction, so they replicate
+        if sel is None and ax is not None and N % mesh.shape[ax] == 0:
             sh = NamedSharding(mesh, P(ax, None))
         else:
             ax, sh = None, repl
@@ -88,8 +91,15 @@ def shard_bsr_tables(bsr, mesh: Mesh, name_axes: Dict[str, str]):
         ax = table_ax[bsr.col_row[ct]] if ct < len(bsr.col_row) else None
         sh = NamedSharding(mesh, P(None, ax)) if ax is not None else repl
         cols.append(_put(c, sh))
+    # every pytree child gets an explicit placement: unplaced
+    # single-device arrays mixed with mesh-placed ones fail the
+    # global-array consistency check at dispatch on multi-host meshes
+    row_sels = tuple(None if s is None else _put(s, repl)
+                     for s in bsr.row_sels)
+    oh_idxs = tuple(None if x is None else _put(x, repl)
+                    for x in bsr.oh_idxs)
     return _dc.replace(bsr, perms=tuple(perms), masks=tuple(masks),
-                       cols=tuple(cols))
+                       cols=tuple(cols), row_sels=row_sels, oh_idxs=oh_idxs)
 
 
 def shard_plan_inputs(plan, mesh: Mesh, dim_axes: Dict[str, int] = None):

@@ -456,9 +456,17 @@ class Plan:
                 n_t = sum(len(pl) for pl in bsr.perm_plans)
                 n_cp = sum(p is not None for pl in bsr.col_plans
                            if pl is not None for p in pl)
-                n_ct = sum(c_.shape[0] for c_ in bsr.cols)  # cols are [D, N]
+                n_ct = sum(c_.shape[0] for c_ in bsr.cols)  # cols are [W, N]
+                n_lv = sum(s is not None for s in bsr.row_sels)
+                n_oh = sum(x is not None for x in bsr.oh_idxs)
+                extra = ""
+                if n_lv:
+                    extra += f", {n_lv} overflow level(s) (degree skew)"
+                if n_oh:
+                    extra += f", {n_oh} one-hot row slot(s)"
                 print(f"[thallo_tpu] group {gp.name}: BSR columns planned "
-                      f"{n_p}/{n_t} (row tables), {n_cp}/{n_ct} (col tables)")
+                      f"{n_p}/{n_t} (row tables), {n_cp}/{n_ct} (col tables)"
+                      f"{extra}")
 
     def update_inputs(self, inputs: Dict[str, np.ndarray]):
         """Update NON-unknown problem inputs (const arrays, scalar params,

@@ -5,27 +5,42 @@ CSR, csr2csc transpose, csrgemm J^T J, csrmv per PCG step —
 /root/reference/API/src/gauss_newton.t:325-488,1331-1526) and scatters
 per-edge blocks with warp-aggregated atomics
 (creatematerializejtjResidualwise, /root/reference/API/src/
-thallo.t:3715-3752; cuda_util.t:334-429).
+thallo.t:3715-3752; cuda_util.t:334-429).  Its index inversion
+(createjtfcentered `residualsincludingX00`, thallo.t:3576-3712)
+enumerates residuals-per-unknown at ANY degree distribution.
 
 TPU redesign (no atomics, scatters serialize at ~12 cycles/row — see
 PERF.md "the scatter wall"):
 
 * At init (concrete graph available) build, per unknown slot, a
-  **degree-padded row table**: perm[N, D] lists the residual points
-  touching each unknown element, D = max degree.  This is the reference's
-  index-inversion idea (createjtfcentered `residualsincludingX00`,
-  thallo.t:3576-3712) as a static gather table.
+  **degree-padded row table**: perm[N, W] lists the residual points
+  touching each unknown element.  Degree skew (real BAL scenes are
+  power-law) is handled by LEVELS: level 0 is a full [N, W0] table
+  covering the first W0 incidences of every element (W0 ~ the 95th
+  degree percentile), and each overflow level k covers incidence ranks
+  [T_{k-1}, T_k) for only the N_k elements whose degree exceeds
+  T_{k-1} — a [N_k, W_k] table with its own element-id selector.
+  Padding is bounded per level, so the path never bails on skew (the
+  TPU analog of the reference's arbitrary-degree index inversion).
+* Slots over SMALL images (BA cameras) skip row tables entirely and
+  run **one-hot row mode**: their setup aggregation (J^T r, diag,
+  diagonal pair blocks) is an MXU segment-sum — payload [F, R] x
+  one-hot [R, N] — which is skew-independent, and their cross J^T J p
+  contribution per PCG step is computed from the TRANSPOSE partner's
+  blocks (B_ij = B_ji^T): a broadcast multiply over the partner's row
+  table plus a one-hot aggregation matmul.  This removes both the
+  camera-side payload gather and the per-step large-source column
+  gather that set the per-index gather floor at BA 250k/1M obs
+  (PERF.md "BA 250k setup anatomy").
 * Once per nonlinear iteration, assemble every unknown-pair block
   B_ij[e] = J_i[e]^T J_j[e] and row-sort them with ONE wide payload
-  gather per row table ([R, F] with F ~ 40-150 channels — wide enough to
-  amortize the permute that defeats thin-row formulations, PERF.md).
-  Pairs whose row and column indices coincide pointwise pre-aggregate to
-  block-diagonal [N, Ci, Cj]; the J^T r and diag(J^T J) setup products
-  ride the same gather, so the whole nonlinear setup is scatter-free.
-* Each PCG step is then gathers + batched block einsums + a sum over the
-  padded degree axis — **zero scatters inside the linear solve**, the
-  property the reference gets from materialized J^T J (constant scatter
-  count per outer iteration, independent of lIterations).
+  gather per row table ([R, F] with F ~ 40-150 channels — wide enough
+  to amortize the permute that defeats thin-row formulations).
+* Each PCG step is then gathers + batched block einsums + a sum over
+  the padded degree axis — **zero scatters inside the linear solve**
+  (overflow levels add one tiny `.at[sel].add` per level over the few
+  high-degree elements), the property the reference gets from
+  materialized J^T J.
 """
 from __future__ import annotations
 
@@ -48,12 +63,15 @@ class GroupBsr:
     cache key)."""
 
     # children (device arrays)
-    perms: Tuple[jnp.ndarray, ...]       # per row table: [N, D] int32 into [0, R)
-    masks: Tuple[jnp.ndarray, ...]       # per row table: [N, D] float (1 = valid)
-    cols: Tuple[jnp.ndarray, ...]        # per col table: [D, N] int32 element ids
+    perms: Tuple[jnp.ndarray, ...]       # per row table: [N_t, W_t] int32 into [0, R)
+    masks: Tuple[jnp.ndarray, ...]       # per row table: [N_t, W_t] float (1 = valid)
+    cols: Tuple[jnp.ndarray, ...]        # per col table: [W_t, N_t] int32 element ids
     # aux (static python data)
-    slot_row: Tuple[int, ...]            # slot i -> row table index
-    pairs: Tuple[tuple, ...]             # (i, j, "diag") | (i, j, "col", gather_idx)
+    slot_row: Tuple[int, ...]            # slot i -> BASE row table index, or -1
+    #                                      for one-hot row mode (small images)
+    pairs: Tuple[tuple, ...]             # (i, j, "diag")
+    #                                    | (i, j, "col", gather_idx)   per level
+    #                                    | (i, j, "transpose", partner_pair_idx)
     col_gathers: Tuple[tuple, ...]       # per gather: (col_table, image_name, C)
     slot_images: Tuple[str, ...]         # slot i -> image name
     slot_channels: Tuple[int, ...]       # slot i -> channel count
@@ -67,27 +85,40 @@ class GroupBsr:
     # that alters the plans retraces.
     perm_plans: Tuple[Optional[tuple], ...] = ()
     col_plans: Tuple[Optional[tuple], ...] = ()
-    # raw per-row-table index arrays ([R] int32, residual -> unknown
-    # element): lets bsr_setup express the jtr/diag row aggregation as a
-    # one-hot MXU segment-sum for small-N tables (no gather, no payload
-    # transpose) — the setup-side twin of bsr_apply's one-hot col gather.
-    idxs: Tuple[Optional[jnp.ndarray], ...] = ()
+    # row table -> its level-0 base table id (== itself for base tables)
+    row_base: Tuple[int, ...] = ()
+    # children: per row table, [N_t] int32 element ids covered (None =
+    # full image, overflow levels select the high-degree tail); per SLOT,
+    # the raw [R] residual->element index array for one-hot row mode
+    # (None for table-backed slots)
+    row_sels: Tuple[Optional[jnp.ndarray], ...] = ()
+    oh_idxs: Tuple[Optional[jnp.ndarray], ...] = ()
 
     def tree_flatten(self):
-        children = (self.perms, self.masks, self.cols, self.idxs)
+        children = (self.perms, self.masks, self.cols, self.row_sels,
+                    self.oh_idxs)
         aux = (self.slot_row, self.pairs, self.col_gathers, self.slot_images,
                tuple(self.slot_channels), tuple(sorted(self.image_shapes.items())),
-               self.row_dims, self.col_row, self.perm_plans, self.col_plans)
+               self.row_dims, self.col_row, self.perm_plans, self.col_plans,
+               self.row_base)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        perms, masks, cols, idxs = children
+        perms, masks, cols, row_sels, oh_idxs = children
         (slot_row, pairs, col_gathers, slot_images, slot_channels, shapes,
-         row_dims, col_row, perm_plans, col_plans) = aux
+         row_dims, col_row, perm_plans, col_plans, row_base) = aux
         return cls(perms, masks, cols, slot_row, pairs, col_gathers,
                    slot_images, slot_channels, dict(shapes), row_dims, col_row,
-                   perm_plans, col_plans, idxs)
+                   perm_plans, col_plans, row_base, row_sels, oh_idxs)
+
+    # -- derived wiring (python-side, cheap) --------------------------------
+    def levels_of(self, base: int) -> Tuple[int, ...]:
+        """All row-table ids sharing this base, base first."""
+        return tuple(t for t, b in enumerate(self.row_base) if b == base)
+
+    def slot_onehot(self, i: int) -> bool:
+        return self.slot_row[i] < 0
 
 
 def _plan_cost_ok(plan, N: int) -> bool:
@@ -193,12 +224,96 @@ def _col_plans_for(segs, columns, idx_j, colt, mask, N_src):
     return tuple(plans)
 
 
+def _level_widths(counts: np.ndarray, R: int, max_waste: float,
+                  max_pad_extra: int) -> Optional[List[Tuple[int, int]]]:
+    """Choose the level boundaries [(rank_start, width), ...] for a
+    rank-keyed row table under degree skew.  Level 0 covers every element
+    (padding N*W0 bounded by the waste budget); each further level covers
+    only the elements whose degree exceeds the cumulative cap, with
+    geometrically growing widths, so a power-law tail costs O(log) small
+    tables instead of exploding the base table (the reference's index
+    inversion is skew-native, thallo.t:3576-3712 — this is its bounded-
+    padding TPU counterpart)."""
+    N = counts.shape[0]
+    Dmax = int(counts.max()) if counts.size else 1
+    Dmax = max(Dmax, 1)
+    budget = max_waste * R + max_pad_extra
+    if N > budget:
+        return None  # more elements than the waste budget allows at W0=1
+    W0 = max(1, int(np.ceil(np.quantile(counts, 0.95))))
+    while W0 > 1 and N * W0 > budget:
+        W0 = max(1, W0 // 2)
+    levels = [(0, min(W0, Dmax))]
+    T = levels[0][1]
+    while T < Dmax:
+        over = counts > T
+        n_over = int(over.sum())
+        remaining = int(np.clip(counts - T, 0, None).sum())
+        if n_over * (Dmax - T) <= max_waste * remaining + 4096:
+            W = Dmax - T  # the tail is cheap to finish in one level
+        else:
+            W = min(max(1, 3 * T), Dmax - T)
+        levels.append((T, W))
+        T += W
+    return levels
+
+
+def _rank_keyed_tables(idx: np.ndarray, N: int, R: int, max_waste: float,
+                       max_pad_extra: int) -> Optional[List[dict]]:
+    """Build the level-bucketed rank-keyed row tables for one index
+    array.  Returns a list of dicts (level 0 first; level 0 has sel=None
+    = full coverage) or None when even W0=1 exceeds the budget."""
+    counts = np.bincount(idx, minlength=N)
+    levels = _level_widths(counts, R, max_waste, max_pad_extra)
+    if levels is None:
+        return None
+    order = np.argsort(idx, kind="stable").astype(np.int64)
+    starts = np.zeros(N + 1, np.int64)
+    starts[1:] = np.cumsum(counts)
+    sorted_rows = idx[order]
+    pos = np.arange(R, dtype=np.int64) - starts[sorted_rows]
+    out = []
+    for li, (T, W) in enumerate(levels):
+        if li == 0:
+            sel = None
+            rowmap = None
+            N_t = N
+        else:
+            selm = counts > T
+            sel = np.nonzero(selm)[0].astype(np.int32)
+            N_t = sel.shape[0]
+            if N_t == 0:
+                continue
+            rowmap = np.full(N, -1, np.int64)
+            rowmap[sel] = np.arange(N_t)
+        in_level = (pos >= T) & (pos < T + W)
+        rows = sorted_rows[in_level]
+        lanes = pos[in_level] - T
+        perm = np.zeros((N_t, W), np.int32)
+        mask = np.zeros((N_t, W), np.float32)
+        r_t = rows if rowmap is None else rowmap[rows]
+        perm[r_t, lanes] = order[in_level].astype(np.int32)
+        mask[r_t, lanes] = 1.0
+        out.append({"perm": perm, "mask": mask, "sel": sel, "W": W})
+    return out
+
+
+# one-hot row mode thresholds: a slot over a small image aggregates by
+# MXU segment-sum instead of a row table (skew-independent, and removes
+# the per-step large-source column gather via transpose-apply).
+# THALLO_ONEHOT_ROWS=0 disables; read at build time (plan init).
+def _onehot_rows_max() -> int:
+    return int(os.environ.get("THALLO_ONEHOT_ROWS", "512"))
+
+
 def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
-                    max_pad_extra: int = 1 << 16) -> Optional[GroupBsr]:
+                    max_pad_extra: int = 1 << 16,
+                    onehot_exclude=()) -> Optional[GroupBsr]:
     """Build the static tables from concrete sparse maps (host side, once
     per init).  Returns None when the group shape doesn't fit the scheme
-    (contractions, fiber slots, pure-stencil groups, pathological degree
-    skew) — callers fall back to the J-block path."""
+    (contractions, fiber slots, pure-stencil groups) — callers fall back
+    to the J-block path.  Degree skew never disables the path (levels +
+    one-hot row mode, see module docstring)."""
     jslots = group.jac_slots  # direct + CA-composed accesses (lower.py)
     if not jslots or group.con_domains:
         return None
@@ -219,57 +334,72 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
     ):
         return None
     idxs: List[np.ndarray] = []
+    slot_N: List[int] = []
     for s in jslots:
         # pure-numpy index evaluation: no eager device ops at init
         flat = group._slot_flat_indices(s, inputs, use_np=True)
         idxs.append(np.asarray(flat).reshape(-1))
+        slot_N.append(int(np.prod([d.size for d in s.image.dims])))
+    nslots = len(jslots)
 
-    # unique row tables keyed by the index array's bytes
+    # one-hot row mode candidates: small element count, residual-heavy.
+    # A pair between two one-hot slots with DIFFERENT index arrays has no
+    # table to transpose through — demote the larger slot to a table.
+    oh_max = _onehot_rows_max()
+    onehot = [0 < oh_max and slot_N[i] <= oh_max and R >= 4 * slot_N[i]
+              and jslots[i].image.name not in onehot_exclude
+              for i in range(nslots)]
+    for i in range(nslots):
+        for j in range(nslots):
+            if i == j or not (onehot[i] and onehot[j]):
+                continue
+            if slot_N[i] == slot_N[j] and np.array_equal(idxs[i], idxs[j]):
+                continue  # diag pair: pure aggregation, no table needed
+            # demote the larger (ties: the later slot)
+            k = i if slot_N[i] > slot_N[j] else j
+            onehot[k] = False
+
+    # unique row tables keyed by the index array's bytes; each key maps
+    # to its BASE (level-0) table id
     row_key_of_slot: List[int] = []
-    row_tables: List[dict] = []
+    row_tables: List[dict] = []   # {"perm","mask","sel","dims","segs",...}
+    row_base_of: List[int] = []
     key_to_row: Dict[bytes, int] = {}
-    padded_total = 0
     for i, s in enumerate(jslots):
-        N = int(np.prod([d.size for d in s.image.dims]))
+        if onehot[i]:
+            row_key_of_slot.append(-1)
+            continue
+        N = slot_N[i]
         key = idxs[i].tobytes()
         if key in key_to_row:
             row_key_of_slot.append(key_to_row[key])
             continue
         idx = idxs[i]
+        dims = tuple(d.name for d in s.image.dims)
         st = _seg_keyed_table(idx, N, R, max_waste, max_pad_extra)
+        base = len(row_tables)
         if st is not None:
-            perm, mask, D = st["perm"], st["mask"], st["D"]
-            segs, columns, plans = st["segs"], st["columns"], st["plans"]
+            row_tables.append({
+                "perm": st["perm"], "mask": st["mask"], "sel": None,
+                "idx": idx, "N": N, "dims": dims, "segs": st["segs"],
+                "columns": st["columns"], "plans": st["plans"]})
+            row_base_of.append(base)
         else:
-            segs, columns, plans = None, None, None
-            order = np.argsort(idx, kind="stable").astype(np.int64)
-            counts = np.bincount(idx, minlength=N)
-            D = max(int(counts.max()), 1)
-            if N * D > max_waste * R + max_pad_extra:
-                return None  # degree skew would explode the padding
-            starts = np.zeros(N + 1, np.int64)
-            starts[1:] = np.cumsum(counts)
-            sorted_rows = idx[order]
-            pos = np.arange(R, dtype=np.int64) - starts[sorted_rows]
-            perm = np.zeros((N, D), np.int32)
-            mask = np.zeros((N, D), np.float32)
-            perm[sorted_rows, pos] = order.astype(np.int32)
-            mask[sorted_rows, pos] = 1.0
-        padded_total += N * D
-        key_to_row[key] = len(row_tables)
-        row_key_of_slot.append(len(row_tables))
-        row_tables.append({"perm": perm, "mask": mask, "idx": idx, "N": N, "D": D,
-                           "dims": tuple(d.name for d in s.image.dims),
-                           "segs": segs, "columns": columns,
-                           "plans": plans if plans is not None else (None,) * D})
-    if padded_total > max_waste * R * len(row_tables) + max_pad_extra:
-        return None
+            lv = _rank_keyed_tables(idx, N, R, max_waste, max_pad_extra)
+            if lv is None:
+                return None  # N alone exceeds the budget: tiny-R group
+            for t in lv:
+                row_tables.append({
+                    "perm": t["perm"], "mask": t["mask"], "sel": t["sel"],
+                    "idx": idx, "N": N, "dims": dims, "segs": None,
+                    "columns": None, "plans": (None,) * t["perm"].shape[1]})
+                row_base_of.append(base)
+        key_to_row[key] = base
+        row_key_of_slot.append(base)
 
-    # pair wiring: for each row slot i and col slot j.  Column index
-    # tables dedupe by (row table, col index values); column GATHERS
-    # dedupe by (col table, gathered image) — two pairs may share a col
-    # table while gathering different images (e.g. P(v1)xP(v0) and
-    # P(v1)xA(v0) both use v0-through-perm_v1 indices).
+    # pair wiring.  Column index tables dedupe by (row table, col index
+    # values); column GATHERS dedupe by (col table, gathered image) —
+    # two pairs may share a col table while gathering different images.
     pairs: List[tuple] = []
     col_tables: List[np.ndarray] = []
     col_row_of: List[int] = []
@@ -277,33 +407,52 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
     col_key: Dict[tuple, int] = {}
     gathers: List[tuple] = []
     gather_key: Dict[tuple, int] = {}
+    # (row slot j, col slot i) -> pair indices per level, for transpose
+    partner_pairs: Dict[Tuple[int, int], List[int]] = {}
+    transpose_todo: List[Tuple[int, int]] = []
     for i, si in enumerate(jslots):
-        t = row_key_of_slot[i]
-        rt = row_tables[t]
-        N_i = rt["N"]
+        N_i = slot_N[i]
         for j, sj in enumerate(jslots):
-            N_j = int(np.prod([d.size for d in sj.image.dims]))
+            N_j = slot_N[j]
             if N_i == N_j and np.array_equal(idxs[i], idxs[j]):
                 pairs.append((i, j, "diag"))
                 continue
-            ck = (t, idxs[j].tobytes())
-            if ck not in col_key:
-                # column element ids aligned to row table t's padded
-                # layout, stored [D, N] so every gather keyed by them
-                # lands N in the 128-lane dim (see bsr_apply layout note)
-                colt = idxs[j][rt["perm"]].astype(np.int32)
-                col_key[ck] = len(col_tables)
-                col_tables.append(np.ascontiguousarray(colt.T))
-                col_row_of.append(t)
-                col_plans_of.append(
-                    _col_plans_for(rt["segs"], rt["columns"], idxs[j], colt,
-                                   rt["mask"], N_j)
-                    if rt["segs"] is not None else None)
-            gk = (col_key[ck], sj.image.name)
-            if gk not in gather_key:
-                gather_key[gk] = len(gathers)
-                gathers.append((col_key[ck], sj.image.name, sj.image.channels))
-            pairs.append((i, j, "col", gather_key[gk]))
+            if onehot[i]:
+                transpose_todo.append((i, j))
+                continue
+            t_base = row_key_of_slot[i]
+            plist = []
+            for t in (tt for tt, b in enumerate(row_base_of) if b == t_base):
+                rt = row_tables[t]
+                ck = (t, idxs[j].tobytes())
+                if ck not in col_key:
+                    # column element ids aligned to row table t's padded
+                    # layout, stored [W, N_t] so every gather keyed by
+                    # them lands N in the 128-lane dim
+                    colt = idxs[j][rt["perm"]].astype(np.int32)
+                    col_key[ck] = len(col_tables)
+                    col_tables.append(np.ascontiguousarray(colt.T))
+                    col_row_of.append(t)
+                    col_plans_of.append(
+                        _col_plans_for(rt["segs"], rt["columns"], idxs[j],
+                                       colt, rt["mask"], N_j)
+                        if rt["segs"] is not None else None)
+                gk = (col_key[ck], sj.image.name)
+                if gk not in gather_key:
+                    gather_key[gk] = len(gathers)
+                    gathers.append((col_key[ck], sj.image.name,
+                                    sj.image.channels))
+                plist.append(len(pairs))
+                pairs.append((i, j, "col", gather_key[gk]))
+            partner_pairs[(i, j)] = plist
+    for (i, j) in transpose_todo:
+        plist = partner_pairs.get((j, i))
+        if not plist:
+            # partner also one-hot with a different index array would have
+            # been demoted above; this is unreachable, but stay safe
+            return None
+        for pidx in plist:
+            pairs.append((i, j, "transpose", pidx))
 
     shapes = {}
     for s in jslots:
@@ -323,8 +472,28 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
         col_row=tuple(col_row_of),
         perm_plans=tuple(rt["plans"] for rt in row_tables),
         col_plans=tuple(col_plans_of),
-        idxs=tuple(jnp.asarray(rt["idx"], jnp.int32) for rt in row_tables),
+        row_base=tuple(row_base_of),
+        row_sels=tuple(None if rt["sel"] is None else jnp.asarray(rt["sel"])
+                       for rt in row_tables),
+        oh_idxs=tuple(jnp.asarray(idxs[i], jnp.int32) if onehot[i] else None
+                      for i in range(nslots)),
     )
+
+
+def _onehot_mat(ids, n, dtype):
+    """[len(ids), n] 0/1 matrix; XLA fuses the comparison into the MXU
+    operand read, so the 'gather' cost disappears into matmul work
+    (measured on v5e: artifacts/tpu_onehot.jsonl)."""
+    return (ids[:, None] == jnp.arange(n, dtype=ids.dtype)[None, :]).astype(dtype)
+
+
+def _oh_aggregate(parts, ids, n):
+    """Segment-sum by MXU: parts [F, R] -> [F, n] summing columns with
+    equal ids.  2*F*R*n FLOPs — cheap for small n (one-hot row mode)."""
+    oh = _onehot_mat(ids, n, parts.dtype)
+    return jax.lax.dot_general(
+        parts, oh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(parts.dtype)
 
 
 def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
@@ -338,7 +507,9 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
     jacs: list of [R, rc, C_i] (masked)
     Returns (jtr_images, d2_images, blocks) where jtr/d2 are dicts
     image -> [*imshape] accumulated over this group's slots and blocks is
-    {pair_index: [Ci*Cj, N] (diag) | [Ci*Cj*D, N] (cross)}.
+    {pair_index: [Ci*Cj, N] (diag) | [Ci*Cj*W_t, N_t] (cross, per level)}.
+    Transpose pairs materialize nothing (they ride their partner's
+    blocks in bsr_apply).
 
     The whole assembly runs CHANNEL-MAJOR ([*, R]/[*, N] buffers, R/N in
     the 128-lane dim): the incoming row-major jac buffers ([R, rc, C] ->
@@ -348,7 +519,8 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
     payload, the row-table gather — pads only its small sublane axis
     (the same minor-dim tiling wall bsr_apply hit first; the remaining
     setup cost is the per-index gather floor, profiled in PERF.md's
-    "BA 250k-obs setup anatomy").
+    "BA 250k-obs setup anatomy").  One-hot row slots route through the
+    MXU segment-sum instead of the payload gather.
     """
     nslots = len(bsr.slot_images)
 
@@ -364,117 +536,188 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
     # (measured ~7x slower than the VPU elementwise form at 261k rows).
     jtr = [jnp.sum(jTs[i] * rT[:, None, :], axis=0) for i in range(nslots)]  # [C, R]
     d2 = [jnp.sum(jTs[i] * jTs[i], axis=0) for i in range(nslots)]  # [C, R]
-    # per-pair edge blocks B_ij = J_i^T J_j  [Ci*Cj, R]
+    # per-pair edge blocks B_ij = J_i^T J_j  [Ci*Cj, R] (skip transpose
+    # pairs: their values are the partner's blocks, reused exactly)
     eblocks = {}
     for p_idx, pr in enumerate(bsr.pairs):
+        if pr[2] == "transpose":
+            continue
         i, j = pr[0], pr[1]
         Ci, Cj = bsr.slot_channels[i], bsr.slot_channels[j]
         eb = jnp.sum(jTs[i][:, :, None, :] * jTs[j][:, None, :, :], axis=0)
         eblocks[p_idx] = eb.reshape(Ci * Cj, -1)
 
-    # one payload gather per row table
-    payload_specs = {t: [] for t in range(len(bsr.perms))}  # t -> [(kind, key, width)]
-    payload_parts = {t: [] for t in range(len(bsr.perms))}
-    for i in range(nslots):
-        t = bsr.slot_row[i]
-        C = bsr.slot_channels[i]
-        payload_specs[t].append(("jtr", i, C))
-        payload_parts[t].append(jtr[i])
-        payload_specs[t].append(("d2", i, C))
-        payload_parts[t].append(d2[i])
-    for p_idx, pr in enumerate(bsr.pairs):
-        i, j = pr[0], pr[1]
-        t = bsr.slot_row[i]
-        Ci, Cj = bsr.slot_channels[i], bsr.slot_channels[j]
-        payload_specs[t].append(("pair", p_idx, Ci * Cj))
-        payload_parts[t].append(eblocks[p_idx])
-
     jtr_out: Dict[str, jnp.ndarray] = {}
     d2_out: Dict[str, jnp.ndarray] = {}
     blocks: Dict[int, jnp.ndarray] = {}
-    for t in range(len(bsr.perms)):
-        if not payload_parts[t]:
+
+    # ---- one-hot row slots: MXU segment-sum aggregation -------------------
+    # batch all parts sharing one index array into a single matmul
+    oh_groups: Dict[int, list] = {}  # slot -> [(kind, key, width, part)]
+    for i in range(nslots):
+        if not bsr.slot_onehot(i):
             continue
+        C = bsr.slot_channels[i]
+        oh_groups[i] = [("jtr", i, C, jtr[i]), ("d2", i, C, d2[i])]
+    for p_idx, pr in enumerate(bsr.pairs):
+        if pr[2] != "diag" or not bsr.slot_onehot(pr[0]):
+            continue
+        i, j = pr[0], pr[1]
+        Ci, Cj = bsr.slot_channels[i], bsr.slot_channels[j]
+        oh_groups[i].append(("pair", p_idx, Ci * Cj, eblocks[p_idx]))
+    for i, entries in oh_groups.items():
+        name_i = bsr.slot_images[i]
+        N = int(np.prod(bsr.image_shapes[name_i][:-1]))
+        parts = jnp.concatenate([p for _, _, _, p in entries], axis=0)
+        agg = _oh_aggregate(parts, bsr.oh_idxs[i], N)  # [F, N]
+        off = 0
+        for kind, key, width, _ in entries:
+            v = agg[off:off + width]
+            if kind in ("jtr", "d2"):
+                name = bsr.slot_images[key]
+                out = jtr_out if kind == "jtr" else d2_out
+                out[name] = out.get(name, 0) + v.T.reshape(
+                    bsr.image_shapes[name])
+            else:
+                blocks[key] = v  # diag block [Ci*Cj, N], full precision
+            off += width
+
+    # ---- table-backed slots: one payload gather per row table (level) -----
+    payload_specs: Dict[int, list] = {}  # base table -> [(kind, key, width)]
+    payload_parts: Dict[int, list] = {}
+    for i in range(nslots):
+        t = bsr.slot_row[i]
+        if t < 0:
+            continue
+        C = bsr.slot_channels[i]
+        payload_specs.setdefault(t, []).append(("jtr", i, C))
+        payload_parts.setdefault(t, []).append(jtr[i])
+        payload_specs[t].append(("d2", i, C))
+        payload_parts[t].append(d2[i])
+    for p_idx, pr in enumerate(bsr.pairs):
+        if pr[2] == "transpose":
+            continue
+        i, j = pr[0], pr[1]
+        if bsr.slot_onehot(i):
+            continue  # handled by the one-hot route above (diag pairs)
+        t = bsr.slot_row[i]
+        Ci, Cj = bsr.slot_channels[i], bsr.slot_channels[j]
+        payload_specs.setdefault(t, []).append(("pair", p_idx, Ci * Cj))
+        payload_parts.setdefault(t, []).append(eblocks[p_idx])
+
+    for base, parts_list in payload_parts.items():
         # ONE relayout to row-major for the row-table gather: the payload
         # is wide (F ~ 40-170), so a row gather moves a near-full tile of
         # useful bytes per index — unlike the thin per-slot gathers the
         # payload exists to batch (PERF.md).  [R, F] pads F only to the
         # next 128 (<2%); the channel-major products above never touch a
         # padded [R, rc, C] buffer.
-        payload = jnp.concatenate(payload_parts[t], axis=0).T  # [R, F]
-        perm, mask = bsr.perms[t], bsr.masks[t]
-        N, D = perm.shape
+        payload = jnp.concatenate(parts_list, axis=0).T  # [R, F]
         F = payload.shape[1]
-        plans = bsr.perm_plans[t] if t < len(bsr.perm_plans) else None
-        if plans is not None and any(p is not None for p in plans):
-            # structured fast path: windowed slices replace the row
-            # gather for affine columns (ops/structured.py); invalid
-            # lanes read in-range garbage that the mask zeroes.
-            # Unplanned columns batch into ONE gather.
-            gparts = [None] * D
-            for d in range(D):
-                if plans[d] is not None:
-                    gparts[d] = structured.apply_col_plan_rows(
-                        payload, plans[d], N)
-            unplanned = [d for d in range(D) if gparts[d] is None]
-            if unplanned:
-                sub = jnp.take(
-                    payload, perm[:, unplanned].reshape(-1), axis=0
-                ).reshape(N, len(unplanned), F)
-                for k, d in enumerate(unplanned):
-                    gparts[d] = sub[:, k]
-            g = jnp.stack(
-                [gd * mask[:, d][:, None] for d, gd in enumerate(gparts)],
-                axis=1)  # [N, D, F]
-        else:
-            g = jnp.take(payload, perm.reshape(-1), axis=0).reshape(
-                N, D, F
-            ) * mask[..., None]  # [N, D, F]
-        gsum = jnp.sum(g, axis=1)  # [N, F] for the pre-aggregated parts
-        off = 0
-        for kind, key, width in payload_specs[t]:
-            if kind in ("jtr", "d2"):
-                i = key
-                name = bsr.slot_images[i]
-                v = gsum[:, off:off + width].reshape(bsr.image_shapes[name])
-                out = jtr_out if kind == "jtr" else d2_out
-                out[name] = out.get(name, 0) + v
-            else:  # pair
-                p_idx = key
-                pr = bsr.pairs[p_idx]
-                if pr[2] == "diag":
-                    # pre-aggregated [Ci*Cj, N]: N-sized, so bf16 saves
-                    # nothing — and the block-Jacobi preconditioner is
-                    # built from these, so keep them full precision
-                    blk = gsum[:, off:off + width].T
-                else:
+        specs = payload_specs[base]
+        agg_width = sum(w for kind, _, w in specs if kind != "pair")
+        # the level tables gather the same payload; aggregated parts
+        # (jtr/d2/diag blocks) sum across levels into full element order,
+        # cross-pair blocks stay per level
+        combined = None  # [N, agg_width + diag widths]
+        levels = bsr.levels_of(base)
+        # map each cross pair to its level table (via its col table)
+        pair_level = {}
+        for kind, key, width in specs:
+            if kind != "pair":
+                continue
+            pr = bsr.pairs[key]
+            if pr[2] == "col":
+                pair_level[key] = bsr.col_row[bsr.col_gathers[pr[3]][0]]
+        for t in levels:
+            perm, mask = bsr.perms[t], bsr.masks[t]
+            N_t, W = perm.shape
+            plans = bsr.perm_plans[t] if t < len(bsr.perm_plans) else None
+            if plans is not None and any(p is not None for p in plans):
+                # structured fast path: windowed slices replace the row
+                # gather for affine columns (ops/structured.py); invalid
+                # lanes read in-range garbage that the mask zeroes.
+                # Unplanned columns batch into ONE gather.
+                gparts = [None] * W
+                for d in range(W):
+                    if plans[d] is not None:
+                        gparts[d] = structured.apply_col_plan_rows(
+                            payload, plans[d], N_t)
+                unplanned = [d for d in range(W) if gparts[d] is None]
+                if unplanned:
+                    sub = jnp.take(
+                        payload, perm[:, unplanned].reshape(-1), axis=0
+                    ).reshape(N_t, len(unplanned), F)
+                    for k, d in enumerate(unplanned):
+                        gparts[d] = sub[:, k]
+                g = jnp.stack(
+                    [gd * mask[:, d][:, None] for d, gd in enumerate(gparts)],
+                    axis=1)  # [N_t, W, F]
+            else:
+                g = jnp.take(payload, perm.reshape(-1), axis=0).reshape(
+                    N_t, W, F
+                ) * mask[..., None]  # [N_t, W, F]
+            gsum = jnp.sum(g, axis=1)  # [N_t, F] for the aggregated parts
+            sel = bsr.row_sels[t]
+            if combined is None:
+                combined = gsum
+            elif sel is None:
+                combined = combined + gsum
+            else:
+                # overflow level: few high-degree elements, one tiny add
+                combined = combined.at[sel].add(gsum)
+            # cross blocks from THIS level's gather
+            off = 0
+            for kind, key, width in specs:
+                if kind == "pair" and bsr.pairs[key][2] == "col" \
+                        and pair_level.get(key) == t:
                     blk = jnp.transpose(
                         g[:, :, off:off + width], (2, 1, 0)
-                    ).reshape(width * D, N)  # [(ci*Cj+cj)*D+d, n]
+                    ).reshape(width * W, N_t)  # [(ci*Cj+cj)*W+d, n]
                     if block_dtype is not None:
                         # bf16 block STORAGE halves the dominant
                         # per-PCG-step HBM read; products upcast back
-                        # (ROADMAP bf16 experiment — J^T r / diag /
-                        # setup stay full precision)
+                        # (J^T r / diag / setup stay full precision)
                         blk = blk.astype(block_dtype)
-                blocks[p_idx] = blk
+                    blocks[key] = blk
+                off += width
+        # aggregated outputs from the combined (full-order) sums
+        off = 0
+        for kind, key, width in specs:
+            if kind in ("jtr", "d2"):
+                i = key
+                name = bsr.slot_images[i]
+                v = combined[:, off:off + width].reshape(bsr.image_shapes[name])
+                out = jtr_out if kind == "jtr" else d2_out
+                out[name] = out.get(name, 0) + v
+            elif bsr.pairs[key][2] == "diag":
+                # pre-aggregated [Ci*Cj, N]: the block-Jacobi
+                # preconditioner and Schur elimination are built from
+                # these, so keep them full precision
+                blocks[key] = combined[:, off:off + width].T
             off += width
     return jtr_out, d2_out, blocks
 
 
 def bsr_apply(bsr: GroupBsr, blocks, p):
     """J^T J p for this group from the assembled blocks: gathers + batched
-    block matvecs + a padded-degree sum.  NO scatters (the analog of the
-    reference's cusparseJTJMatVec / PCGStep1_materializedJTJ,
-    gauss_newton.t:554-625,1447-1526).
+    block matvecs + a padded-degree sum.  NO scatters on the hot path
+    (the analog of the reference's cusparseJTJMatVec /
+    PCGStep1_materializedJTJ, gauss_newton.t:554-625,1447-1526); overflow
+    levels contribute one tiny `.at[sel].add` over the high-degree tail.
 
     Layout discipline (TPU): every buffer this loop touches keeps the
     big axis N LAST (the 128-lane dim) and folds the small channel /
-    degree axes into the sublane dim — blocks [Ci*Cj*D, N], gathered
-    column operands [Cj, D, N], accumulator [Ci, N], all <2x physical
+    degree axes into the sublane dim — blocks [Ci*Cj*W, N_t], gathered
+    column operands [Cj, W, N_t], accumulator [Ci, N], all <2x physical
     padding.  Naive [N,D,Ci,Cj]/[N*D,C] shapes pad their trailing dims
     ~40-110x and measured ~12 ms per 261k-edge PCG iteration end-to-end
     (PERF.md "the minor-dim tiling wall").
+
+    Transpose pairs (one-hot row mode): contribution to the small image
+    = partner blocks × p broadcast over the partner's rows, aggregated
+    by destination element with a one-hot MXU matmul — no per-index
+    gather at all (the per-step cost that set the BA 250k/1M floor).
 
     p: unknown pytree.  Returns dict image -> [*imshape] contribution.
     """
@@ -483,16 +726,24 @@ def bsr_apply(bsr: GroupBsr, blocks, p):
     for img in set(bsr.slot_images):
         C = p[img].shape[-1]
         pT[img] = p[img].reshape(-1, C).T  # [C, N_img]
-    # one [C, D, N] gather per unique (col table, image) — and gathers
+    # one [C, W, N_t] gather per unique (col table, image) — and gathers
     # sharing a col table concatenate their channel-major sources so the
-    # ~8-cycle-per-index cost (PERF.md) is paid once per table
+    # ~8-cycle-per-index cost (PERF.md) is paid once per table.  Col
+    # tables referenced only by transpose pairs never gather (their ids
+    # feed the one-hot aggregation directly).
+    used_gathers = set()
+    for pr in bsr.pairs:
+        if pr[2] == "col":
+            used_gathers.add(pr[3])
     by_table: Dict[tuple, list] = {}
     for gidx, (ct, img, C) in enumerate(bsr.col_gathers):
+        if gidx not in used_gathers:
+            continue
         # sharing requires equal source extents (same element count)
         by_table.setdefault((ct, pT[img].shape[1]), []).append((gidx, img, C))
     pg = {}
     for (ct, _), entries in by_table.items():
-        D, N = bsr.cols[ct].shape
+        W, N_t = bsr.cols[ct].shape
         cat = (pT[entries[0][1]] if len(entries) == 1
                else jnp.concatenate([pT[img] for _, img, _ in entries], axis=0))
         plans = bsr.col_plans[ct] if ct < len(bsr.col_plans) else None
@@ -501,18 +752,18 @@ def bsr_apply(bsr: GroupBsr, blocks, p):
             # read p through windowed slices — zero per-index cost on
             # the PCG-step hot loop; garbage on invalid lanes multiplies
             # zeroed blocks.  Unplanned columns batch into ONE gather.
-            gs = [None] * D
-            for d in range(D):
+            gs = [None] * W
+            for d in range(W):
                 if plans[d] is not None:
-                    gs[d] = structured.apply_col_plan_minor(cat, plans[d], N)
-            unplanned = [d for d in range(D) if gs[d] is None]
+                    gs[d] = structured.apply_col_plan_minor(cat, plans[d], N_t)
+            unplanned = [d for d in range(W) if gs[d] is None]
             if unplanned:
                 sub = jnp.take(
                     cat, bsr.cols[ct][unplanned].reshape(-1), axis=1
-                ).reshape(cat.shape[0], len(unplanned), N)
+                ).reshape(cat.shape[0], len(unplanned), N_t)
                 for k, d in enumerate(unplanned):
                     gs[d] = sub[:, k]
-            g = jnp.stack(gs, axis=1)  # [sum C, D, N]
+            g = jnp.stack(gs, axis=1)  # [sum C, W, N_t]
             off = 0
             for gidx, img, C in entries:
                 pg[gidx] = g[off:off + C]
@@ -520,7 +771,7 @@ def bsr_apply(bsr: GroupBsr, blocks, p):
             continue
         S_src = cat.shape[1]
         onehot_max = int(os.environ.get("THALLO_ONEHOT_COLS", "512"))
-        if 0 < S_src <= onehot_max and D * N > 4 * S_src:
+        if 0 < S_src <= onehot_max and W * N_t > 4 * S_src:
             # small-source gathers as a one-hot MXU matmul.  Measured on
             # TPU v5e (artifacts/tpu_onehot.jsonl, BA 250k obs / 256
             # cameras): marginal PCG iteration 2.73 -> 0.53 ms (5.1x) —
@@ -530,7 +781,7 @@ def bsr_apply(bsr: GroupBsr, blocks, p):
             # threshold 512 source rows; THALLO_ONEHOT_COLS overrides
             # (0 disables) — read at trace time, i.e. plan creation.
             ids = bsr.cols[ct].reshape(-1)
-            oh = (ids[None, :] == jnp.arange(S_src)[:, None]).astype(cat.dtype)
+            oh = _onehot_mat(ids, S_src, cat.dtype).T  # [S_src, W*N_t]
             g = jax.lax.dot_general(
                 cat, oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(cat.dtype)
@@ -538,14 +789,49 @@ def bsr_apply(bsr: GroupBsr, blocks, p):
             g = jnp.take(cat, bsr.cols[ct].reshape(-1), axis=1)
         off = 0
         for gidx, img, C in entries:
-            pg[gidx] = g[off:off + C].reshape(C, D, N)
+            pg[gidx] = g[off:off + C].reshape(C, W, N_t)
             off += C
     out: Dict[str, jnp.ndarray] = {}
-    acc: Dict[int, jnp.ndarray] = {}  # row slot -> [Ci, N]
+    acc: Dict[int, jnp.ndarray] = {}  # row slot -> [Ci, N] (full order)
+
+    def _add(i, contrib, sel=None):
+        name = bsr.slot_images[i]
+        N = int(np.prod(bsr.image_shapes[name][:-1]))
+        if i not in acc:
+            acc[i] = jnp.zeros((bsr.slot_channels[i], N), contrib.dtype)
+        if sel is None:
+            acc[i] = acc[i] + contrib
+        else:
+            acc[i] = acc[i].at[:, sel].add(contrib)
+
     for p_idx, pr in enumerate(bsr.pairs):
         i, j = pr[0], pr[1]
         Ci = bsr.slot_channels[i]
         Cj = bsr.slot_channels[j]
+        if pr[2] == "transpose":
+            # partner (j, i, "col", g): blocks [Cj*Ci*W, N_t] over j's
+            # row table; z = B^T p_j broadcast over rows, then one-hot
+            # aggregate by destination (this slot's element ids = the
+            # partner's col table)
+            partner = bsr.pairs[pr[3]]
+            ct = bsr.col_gathers[partner[3]][0]
+            t = bsr.col_row[ct]
+            blk = blocks[pr[3]]
+            if blk.dtype != p[bsr.slot_images[i]].dtype:
+                blk = blk.astype(p[bsr.slot_images[i]].dtype)
+            W, N_t = bsr.cols[ct].shape
+            B = blk.reshape(Cj, Ci, W, N_t)
+            prow = pT[bsr.slot_images[j]]  # [Cj, N_j]
+            sel = bsr.row_sels[t]
+            if sel is not None:
+                prow = prow[:, sel]  # [Cj, N_t] (tiny overflow tail)
+            z = jnp.sum(B * prow[:, None, None, :], axis=0)  # [Ci, W, N_t]
+            name_i = bsr.slot_images[i]
+            N_i = int(np.prod(bsr.image_shapes[name_i][:-1]))
+            ids = bsr.cols[ct].reshape(-1)
+            contrib = _oh_aggregate(z.reshape(Ci, W * N_t), ids, N_i)
+            _add(i, contrib)
+            continue
         blk = blocks[p_idx]
         if blk.dtype != p[bsr.slot_images[i]].dtype:
             blk = blk.astype(p[bsr.slot_images[i]].dtype)  # bf16 storage
@@ -553,11 +839,14 @@ def bsr_apply(bsr: GroupBsr, blocks, p):
             pjT = pT[bsr.slot_images[j]]  # [Cj, N]
             B = blk.reshape(Ci, Cj, -1)  # [Ci, Cj, N]
             contrib = jnp.sum(B * pjT[None, :, :], axis=1)  # [Ci, N]
+            _add(i, contrib)
         else:
-            D, N = bsr.cols[bsr.col_gathers[pr[3]][0]].shape
-            B = blk.reshape(Ci, Cj, D, N)
-            contrib = jnp.sum(B * pg[pr[3]][None], axis=(1, 2))  # [Ci, N]
-        acc[i] = acc.get(i, 0) + contrib
+            ct = bsr.col_gathers[pr[3]][0]
+            t = bsr.col_row[ct]
+            W, N_t = bsr.cols[ct].shape
+            B = blk.reshape(Ci, Cj, W, N_t)
+            contrib = jnp.sum(B * pg[pr[3]][None], axis=(1, 2))  # [Ci, N_t]
+            _add(i, contrib, sel=bsr.row_sels[t])
     for i, v in acc.items():
         name = bsr.slot_images[i]
         out[name] = out.get(name, 0) + v.T.reshape(bsr.image_shapes[name])

@@ -379,10 +379,19 @@ class CompiledSolver:
         _, total = self.unknown_layout()
         return total > DENSE_JTJ_MAX_UNKNOWNS
 
+    def _onehot_exclude(self):
+        """Images that must not build in one-hot row mode: schur_dense
+        materializes the reduced system through an eliminated image's
+        row tables, so an explicitly-eliminated image needs them."""
+        if self.schur and self.schur_eliminate:
+            return tuple(self.schur_eliminate)
+        return ()
+
     def group_consts(self, inputs):
         return [
             gp.group.prepared_consts(
-                inputs, want_bsr=self._wants_bsr(gp) and gp.inline_group is None
+                inputs, want_bsr=self._wants_bsr(gp) and gp.inline_group is None,
+                onehot_exclude=self._onehot_exclude(),
             )
             for gp in self.groups
         ]
@@ -402,7 +411,9 @@ class CompiledSolver:
         return {
             "consts": self.group_consts(inputs),
             "twin_consts": [
-                gp.inline_group.prepared_consts(inputs, want_bsr=self._wants_bsr(gp))
+                gp.inline_group.prepared_consts(
+                    inputs, want_bsr=self._wants_bsr(gp),
+                    onehot_exclude=self._onehot_exclude())
                 if gp.inline_group is not None else None
                 for gp in self.groups
             ],
@@ -446,7 +457,9 @@ class CompiledSolver:
                 continue
             if gp.inline_group is not None:
                 c = (twin_consts[gi] if twin_consts and twin_consts[gi] is not None
-                     else g.prepared_consts(inputs, want_bsr=self._wants_bsr(gp)))
+                     else g.prepared_consts(
+                         inputs, want_bsr=self._wants_bsr(gp),
+                         onehot_exclude=self._onehot_exclude()))
             bsr = c.get("bsr") if isinstance(c, dict) else None
             if bsr is not None and self._wants_bsr(gp):
                 # scatter-free setup: J^T r, diag and all J^T J blocks
@@ -947,9 +960,22 @@ class CompiledSolver:
                         cross.setdefault(a, set()).add(b)
             else:
                 touched_non_bsr.update(s.image.name for s in g.jac_slots)
+        onehot_imgs = set()
+        for gi, gp in enumerate(self.groups):
+            c = consts[gi]
+            bsr = c.get("bsr") if isinstance(c, dict) else None
+            if bsr is not None:
+                for i, x in enumerate(bsr.oh_idxs):
+                    if x is not None:
+                        onehot_imgs.add(bsr.slot_images[i])
         eligible = [n for n in elements
                     if n in has_diag_blocks
-                    and n not in self_offdiag and n not in touched_non_bsr]
+                    and n not in self_offdiag and n not in touched_non_bsr
+                    # schur_dense assembles couplings through the
+                    # eliminated image's ROW TABLES; one-hot-mode images
+                    # have none (explicit schur_eliminate disables
+                    # one-hot mode at build instead)
+                    and not (self.schur_dense and n in onehot_imgs)]
         if self.schur_eliminate is not None:
             elim = list(self.schur_eliminate)
             bad = [n for n in elim if n not in eligible]
@@ -1008,7 +1034,7 @@ class CompiledSolver:
                 "or raise the plan option schur_dense_max")
 
         kk_diag = {}        # keep image -> [C*C, N] block diagonal
-        kk_cross = []       # (a, b, B [Ca,Cb,D,Na], cols [D,Na]|None)
+        kk_cross = []       # (a, b, vals [M,Ca,Cb], ia [M], ib [M])
         couplings = {e: [] for e in elim}  # elim -> [(B, cols, keep_img)]
         for gi, gp in enumerate(self.groups):
             g = gp.jac_group()
@@ -1027,16 +1053,55 @@ class CompiledSolver:
                 i, j = pr[0], pr[1]
                 a, b2 = bsr.slot_images[i], bsr.slot_images[j]
                 Ca, Cb = bsr.slot_channels[i], bsr.slot_channels[j]
-                blk = blocks[p_idx].astype(dtype)
                 Na = elements[a][0]
+                if pr[2] == "transpose":
+                    # one-hot row mode: values live in the partner's
+                    # blocks (B_ij = B_ji^T), organized by the PARTNER's
+                    # row table; masked lanes carry zero blocks
+                    if a in elim:
+                        raise ValueError(
+                            f"schur_dense cannot eliminate {a!r}: it runs "
+                            "in one-hot row mode (small image); set "
+                            "THALLO_ONEHOT_ROWS=0 or eliminate the large "
+                            "image instead")
+                    if b2 in elim:
+                        continue  # the partner pair carries this coupling
+                    partner = bsr.pairs[pr[3]]
+                    ct = bsr.col_gathers[partner[3]][0]
+                    t = bsr.col_row[ct]
+                    blkT = blocks[pr[3]].astype(dtype)
+                    W, Nt = bsr.cols[ct].shape
+                    BT = blkT.reshape(Cb, Ca, W, Nt)
+                    sel = bsr.row_sels[t]
+                    rows_b = sel if sel is not None else jnp.arange(Nt)
+                    ia = jnp.broadcast_to(bsr.cols[ct], (W, Nt)).reshape(-1)
+                    ib = jnp.broadcast_to(rows_b[None, :], (W, Nt)).reshape(-1)
+                    vals = jnp.transpose(BT, (2, 3, 1, 0)).reshape(
+                        W * Nt, Ca, Cb)
+                    kk_cross.append((a, b2, vals, ia, ib))
+                    continue
+                blk = blocks[p_idx].astype(dtype)
                 if pr[2] == "diag":
                     cols = None
+                    sel = None
                     B = blk.reshape(Ca, Cb, 1, Na)
                 else:
-                    cols = bsr.cols[bsr.col_gathers[pr[3]][0]]  # [D, Na]
-                    B = blk.reshape(Ca, Cb, cols.shape[0], Na)
+                    ct = bsr.col_gathers[pr[3]][0]
+                    cols = bsr.cols[ct]  # [W, N_t]
+                    sel = bsr.row_sels[bsr.col_row[ct]]
+                    B = blk.reshape(Ca, Cb, cols.shape[0], cols.shape[1])
                 if a in elim:
                     if b2 in keep:
+                        if sel is not None:
+                            # overflow level: expand the high-degree tail
+                            # back to full element order so couplings of
+                            # one eliminated element align (zero blocks
+                            # on untouched lanes contribute nothing)
+                            W = cols.shape[0]
+                            Bf = jnp.zeros((Ca, Cb, W, Na), dtype)
+                            B = Bf.at[:, :, :, sel].set(B)
+                            colsf = jnp.zeros((W, Na), cols.dtype)
+                            cols = colsf.at[:, sel].set(cols)
                         couplings[a].append((B, cols, b2))
                     continue  # elim-elim is the (damped, inverted) Einv
                 if b2 in elim:
@@ -1044,7 +1109,15 @@ class CompiledSolver:
                 if a == b2 and pr[2] == "diag":
                     kk_diag[a] = kk_diag.get(a, 0) + blk
                 else:
-                    kk_cross.append((a, b2, B, cols))
+                    W, Nt = B.shape[2], B.shape[3]
+                    rows_a = sel if sel is not None else jnp.arange(Nt)
+                    ia = jnp.broadcast_to(
+                        rows_a[None, :], (W, Nt)).reshape(-1)
+                    ib = (cols.reshape(-1) if cols is not None
+                          else rows_a)
+                    vals = jnp.transpose(B, (2, 3, 0, 1)).reshape(
+                        W * Nt, Ca, Cb)
+                    kk_cross.append((a, b2, vals, ia, ib))
 
         S = jnp.zeros((K, K), dtype)
 
@@ -1062,12 +1135,7 @@ class CompiledSolver:
                 blockmat.reshape(Na * Ca, Nb * Cb))
 
         # keep-keep off-diagonal couplings
-        for (a, bname, B, cols) in kk_cross:
-            Ca, Cb, D, Na = B.shape
-            ia = jnp.broadcast_to(jnp.arange(Na)[None], (D, Na)).reshape(-1)
-            ib = (cols.reshape(-1) if cols is not None
-                  else jnp.arange(Na))
-            vals = jnp.transpose(B, (2, 3, 0, 1)).reshape(D * Na, Ca, Cb)
+        for (a, bname, vals, ia, ib) in kk_cross:
             S = add_blocks(S, a, bname, vals, ia, ib)
 
         # the Schur correction: -A_ke A_ee^-1 A_ek per eliminated image
@@ -1121,7 +1189,16 @@ class CompiledSolver:
 
         b_flat = jnp.concatenate(
             [b[n].reshape(-1).astype(dtype) for n in keep])
-        delta_flat = jnp.linalg.solve(S, b_flat)
+        self._last_S = (S, offs, keep)  # debug/inspection hook (tests)
+        if self.uses_lambda:
+            delta_flat = jnp.linalg.solve(S, b_flat)
+        else:
+            # GN has no damping: BA-style problems carry a gauge null
+            # space (global similarity), so S is singular to working
+            # precision and LU is undefined — take the minimum-norm
+            # least-squares solution instead (PCG avoids this naturally
+            # by staying in the Krylov range space)
+            delta_flat = jnp.linalg.lstsq(S, b_flat)[0]
         out = {}
         for n in keep:
             Nn, Cn = elements[n]
