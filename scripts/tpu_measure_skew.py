@@ -12,8 +12,8 @@ import jax
 import numpy as np
 
 
-def measure_ba(name, make_inputs, n_cameras, n_points, l_lo=4, l_hi=54,
-               n_steps=4):
+def measure_ba(name, make_inputs, n_cameras, n_points, l_lo=4, l_hi=104,
+               n_steps=8, scan_k=4):
     from thallo_tpu.models import bundle_adjustment as ba
 
     inputs, meta = make_inputs()
@@ -30,28 +30,34 @@ def measure_ba(name, make_inputs, n_cameras, n_points, l_lo=4, l_hi=54,
     bsrs = [c.get("bsr") for c in plan._prep["consts"] if isinstance(c, dict)]
     assert any(b is not None for b in bsrs), f"{name}: BSR path inactive"
     init_s = time.perf_counter() - t0
+    plan.steps_per_dispatch = scan_k  # amortize relay dispatch latency
     ts = {}
     for li in (l_lo, l_hi):
         plan.set_solver_parameter("lIterations", li)
         plan.init(inputs)
-        plan.step()
+        plan.run_steps(scan_k)
         jax.block_until_ready(plan._U)
         best = float("inf")
         for _ in range(3):
             plan.init(inputs)
+            plan.run_steps(scan_k)  # settle
             jax.block_until_ready(plan._U)
+            it0 = int(plan._lm.n_iter)
             t0 = time.perf_counter()
-            for _ in range(n_steps):
-                plan.step()
+            plan.run_steps(n_steps)
             jax.block_until_ready(plan._U)
-            best = min(best, (time.perf_counter() - t0) / n_steps)
+            w = time.perf_counter() - t0
+            done = max(int(plan._lm.n_iter) - it0, 1)
+            best = min(best, w / done)
         ts[li] = best
     marg_ms = (ts[l_hi] - ts[l_lo]) / (l_hi - l_lo) * 1e3
     fixed_ms = (ts[l_lo] - l_lo * marg_ms / 1e3) * 1e3
+    from thallo_tpu.utils.roofline import roofline
+    roof = roofline(plan, max(marg_ms, 1e-6) / 1e3)
     rec = {"name": name, "O": O, "marginal_pcg_iter_ms": round(marg_ms, 4),
            "fixed_step_ms": round(fixed_ms, 3),
-           "iters_per_s_l16": round(16.0 / (ts[l_lo] / 1 + (16 - l_lo) * marg_ms / 1e3), 1),
-           "init_s": round(init_s, 2)}
+           "iters_per_s_l16": round(16.0 / (ts[l_lo] + (16 - l_lo) * marg_ms / 1e3), 1),
+           "init_s": round(init_s, 2), **roof}
     print(json.dumps(rec), flush=True)
     with open("artifacts/tpu_skew.jsonl", "a") as f:
         f.write(json.dumps(rec) + "\n")

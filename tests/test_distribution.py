@@ -178,3 +178,58 @@ def test_edge_sort_by_owner_answer_invariant():
     f_base = run(base, False)
     f_sorted = run(sorted_inputs, True)
     assert np.isclose(f_base, f_sorted, rtol=1e-3), (f_base, f_sorted)
+
+
+@needs_devices
+def test_graph_step_communication_is_owner_sharded():
+    """Round-3 communication discipline (SURVEY §2.4): the sharded graph
+    step must NOT all-reduce volume-proportional buffers.  Per-unknown
+    accumulators land owner-sharded via sharding constraints, and the
+    small vector operands are explicitly all-gathered (O(unknown bytes)
+    per PCG iteration), so the only all-reduces left are the PCG/cost
+    scalars — and this holds for ANY edge order (round 2 all-reduced
+    1.3 MB/step of edge-sized buffers on this exact workload)."""
+    import thallo_tpu as tl
+    from thallo_tpu.models import arap_mesh_deformation as arap
+    from thallo_tpu.parallel import sort_edges_by_owner
+    from thallo_tpu.parallel.mesh import (
+        collective_stats,
+        compiled_step_hlo,
+        make_mesh,
+        shard_plan_inputs,
+    )
+
+    side = 32
+    N = side * side
+    ai = arap.synthetic_inputs(side=side)
+    E = len(ai["V0"])
+
+    def run(sort):
+        spec = arap.make_spec()
+        plan = spec.plan({"N": N, "E": E}, solver="gauss_newton")
+        plan.set_solver_parameter("nIterations", 3)
+        plan.set_solver_parameter("lIterations", 4)
+        ins = {k: np.copy(v) for k, v in ai.items()}
+        if sort:
+            ins, _ = sort_edges_by_owner(ins, plan.spec, "E", "V0", 8)
+        else:
+            rng = np.random.RandomState(7)
+            perm = rng.permutation(E)
+            for k in ("V0", "V1", "rest"):
+                if k in ins and len(ins[k]) == E:
+                    ins[k] = np.asarray(ins[k])[perm]
+        plan.init(ins)
+        mesh = make_mesh(8, axis_names=("x",))
+        shard_plan_inputs(plan, mesh, dim_axes={"N": "x", "E": "x"})
+        with mesh:
+            st = collective_stats(compiled_step_hlo(plan))
+            plan.step()
+        return st, float(plan.cost())
+
+    st_sorted, c_sorted = run(sort=True)
+    st_shuf, c_shuf = run(sort=False)
+    # scalars only: alpha/beta/cost dots (a few dozen bytes)
+    assert st_sorted["all_reduce_bytes"] <= 4096, st_sorted
+    assert st_shuf["all_reduce_bytes"] <= 4096, st_shuf
+    # answers are edge-order invariant
+    assert np.isclose(c_sorted, c_shuf, rtol=1e-4), (c_sorted, c_shuf)

@@ -134,6 +134,7 @@ def test_skewed_ba_no_onehot_exact(monkeypatch):
     """Levels alone (one-hot row mode disabled) must also be exact —
     the camera side then builds skew-bucketed tables too."""
     monkeypatch.setenv("THALLO_ONEHOT_ROWS", "0")
+    monkeypatch.setenv("THALLO_TRANSPOSE_ROWS", "0")
     ins, sizes = _skewed_ba(seed=5)
     plan = _forced_sparse_plan(sizes)
     plan.init(ins)

@@ -186,6 +186,23 @@ def shard_plan_inputs(plan, mesh: Mesh, dim_axes: Dict[str, int] = None):
             new_inputs[k] = _put(v, NamedSharding(mesh, P()))
     plan._inputs = new_inputs
     plan._mesh = mesh
+    # sharding-constraint context for the solver: per-unknown partition
+    # specs so accumulators reduce to owner shards inside the jitted step
+    # (gn.CompiledSolver._constrain_u)
+    u_specs = {}
+    for im in spec.unknowns:
+        parts = []
+        used = set()
+        for i, d in enumerate(im.dims):
+            ax = name_axes.get(d.name)
+            if (ax is not None and ax not in used
+                    and d.size % mesh.shape[ax] == 0):
+                parts.append(ax)
+                used.add(ax)
+            else:
+                parts.append(None)
+        u_specs[im.name] = tuple(parts)
+    plan.compiled.shard_ctx = (mesh, u_specs, dict(name_axes))
     # U must not alias _inputs (donation safety, see Plan.init)
     plan._U = {im.name: jax.numpy.copy(new_inputs[im.name]) for im in spec.unknowns}
     # keep the plan's derived state consistent with the re-placed arrays:

@@ -359,6 +359,28 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
             k = i if slot_N[i] > slot_N[j] else j
             onehot[k] = False
 
+    # transpose-apply eligibility PER PAIR, independent of setup mode:
+    # pair (i, j) runs as the transpose of (j, i)'s blocks + a one-hot
+    # MXU aggregation whenever slot i's element count is MXU-cheap and j
+    # builds a row table.  This matters beyond the one-hot slots: at BA
+    # 1M obs, 1024 cameras exceed the one-hot SETUP threshold (the OH
+    # setup matmul grows as F*R*N) but the per-step aggregation matmul
+    # (C*R*N) stays far cheaper than the R-index column gather it
+    # replaces (measured 14.3 ms/iter at 1M, artifacts/tpu_skew.jsonl —
+    # the per-index gather floor).  Break-even N ~ 35k/C on v5e.
+    tr_max = int(os.environ.get("THALLO_TRANSPOSE_ROWS", "8192"))
+
+    def _transpose_ok(i, j):
+        if onehot[i]:
+            return True  # no table: transpose is the only cross form
+        if slot_N[i] > tr_max or onehot[j]:
+            return False
+        if jslots[i].image.name in onehot_exclude:
+            return False  # schur_dense eliminates through i's blocks
+        # one direction must keep materialized blocks for the other to
+        # reference: the smaller side transposes (ties: lower slot id)
+        return (slot_N[i], i) < (slot_N[j], j)
+
     # unique row tables keyed by the index array's bytes; each key maps
     # to its BASE (level-0) table id
     row_key_of_slot: List[int] = []
@@ -417,7 +439,7 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
             if N_i == N_j and np.array_equal(idxs[i], idxs[j]):
                 pairs.append((i, j, "diag"))
                 continue
-            if onehot[i]:
+            if _transpose_ok(i, j):
                 transpose_todo.append((i, j))
                 continue
             t_base = row_key_of_slot[i]
@@ -497,7 +519,7 @@ def _oh_aggregate(parts, ids, n):
 
 
 def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
-              channel_major=False):
+              channel_major=False, replicate=None):
     """Once per nonlinear iteration: assemble J^T r, diag(J^T J) and all
     unknown-pair blocks, row-sorted, with one wide payload gather per row
     table (scatter-free; replaces creatematerializejtjResidualwise +
@@ -613,6 +635,13 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
         # next 128 (<2%); the channel-major products above never touch a
         # padded [R, rc, C] buffer.
         payload = jnp.concatenate(parts_list, axis=0).T  # [R, F]
+        if replicate is not None:
+            # mesh mode: ONE explicit all-gather of the edge-sharded
+            # payload so the N-sharded row-table gathers below stay
+            # local — XLA otherwise lowers each cross-sharded gather as
+            # masked-partial + full all-reduce (volume-proportional,
+            # MULTICHIP_r02's 1.3 MB/step)
+            payload = replicate(payload)
         F = payload.shape[1]
         specs = payload_specs[base]
         agg_width = sum(w for kind, _, w in specs if kind != "pair")
@@ -699,7 +728,7 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
     return jtr_out, d2_out, blocks
 
 
-def bsr_apply(bsr: GroupBsr, blocks, p):
+def bsr_apply(bsr: GroupBsr, blocks, p, replicate=None):
     """J^T J p for this group from the assembled blocks: gathers + batched
     block matvecs + a padded-degree sum.  NO scatters on the hot path
     (the analog of the reference's cusparseJTJMatVec /
@@ -721,11 +750,16 @@ def bsr_apply(bsr: GroupBsr, blocks, p):
 
     p: unknown pytree.  Returns dict image -> [*imshape] contribution.
     """
-    # channel-major views of the operand vectors, once per image
+    # channel-major views of the operand vectors, once per image.  On a
+    # mesh, replicate them HERE (one small [C, N] all-gather per image):
+    # every downstream col/row read is then shard-local, and the
+    # constrained accumulator output reduces to owner shards — per-step
+    # communication becomes O(unknown bytes), not O(edge bytes)
     pT = {}
     for img in set(bsr.slot_images):
         C = p[img].shape[-1]
-        pT[img] = p[img].reshape(-1, C).T  # [C, N_img]
+        v = p[img].reshape(-1, C).T  # [C, N_img]
+        pT[img] = replicate(v) if replicate is not None else v
     # one [C, W, N_t] gather per unique (col table, image) — and gathers
     # sharing a col table concatenate their channel-major sources so the
     # ~8-cycle-per-index cost (PERF.md) is paid once per table.  Col
@@ -770,7 +804,11 @@ def bsr_apply(bsr: GroupBsr, blocks, p):
                 off += C
             continue
         S_src = cat.shape[1]
-        onehot_max = int(os.environ.get("THALLO_ONEHOT_COLS", "512"))
+        # default raised 512 -> 4096 after the 1M-obs measurement
+        # (artifacts/tpu_skew.jsonl): at 1024 cameras the threshold miss
+        # reinstated the R-index thin gather (14.3 ms/iter); the one-hot
+        # matmul break-even is ~35k/C source rows on v5e
+        onehot_max = int(os.environ.get("THALLO_ONEHOT_COLS", "4096"))
         if 0 < S_src <= onehot_max and W * N_t > 4 * S_src:
             # small-source gathers as a one-hot MXU matmul.  Measured on
             # TPU v5e (artifacts/tpu_onehot.jsonl, BA 250k obs / 256

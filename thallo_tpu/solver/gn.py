@@ -240,6 +240,13 @@ class CompiledSolver:
         # provides diag blocks, scalar otherwise (identical answers; the
         # block form reduces to scalar when blocks are diagonal).
         self.precond_kind = options.get("preconditioner", "auto")
+        # set by parallel.mesh.shard_plan_inputs: (mesh, unknown-name ->
+        # dim partition tuple).  When present, per-unknown accumulators
+        # get sharding constraints so XLA reduces partial (edge-sharded)
+        # contributions straight to owner shards (reduce-scatter) instead
+        # of all-reducing replicated full copies (SURVEY §2.4's
+        # psum_scatter commitment).
+        self.shard_ctx = None
         self._exclude_fns = {}
         for im in spec.unknowns:
             if im.exclude_expr is not None:
@@ -319,6 +326,60 @@ class CompiledSolver:
             "PCGStep3": pcg_step3,
             "PCGLinearUpdate": linear_update,
         }
+
+    def _constrain_u(self, name, v):
+        """Pin a per-unknown-image accumulator to the unknown's mesh
+        sharding (no-op without a mesh)."""
+        if not self.shard_ctx:
+            return v
+        mesh, specs = self.shard_ctx[:2]
+        spec = specs.get(name)
+        if spec is None:
+            return v
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        parts = tuple(spec) + (None,) * (v.ndim - len(spec))
+        return jax.lax.with_sharding_constraint(
+            v, NamedSharding(mesh, PartitionSpec(*parts)))
+
+    def _constrain_tree(self, t):
+        return {k: self._constrain_u(k, v) for k, v in t.items()}
+
+    def _replicate(self, v):
+        """Explicitly all-gather a small operand on the mesh (no-op
+        without one): gathers that read it stay shard-local."""
+        if not self.shard_ctx:
+            return v
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh = self.shard_ctx[0]
+        return jax.lax.with_sharding_constraint(
+            v, NamedSharding(mesh, PartitionSpec()))
+
+    def _edge_replicate(self, g):
+        """Callback for [R, ...] buffers: pin to the edge sharding FIRST,
+        then replicate — the two constraints force one explicit
+        all-gather at this point and keep the producer chain sharded
+        (without the first pin, XLA propagates the replication upstream
+        and replicates the whole jacobian pass, indices included)."""
+        if not self.shard_ctx or len(self.shard_ctx) < 3:
+            return self._replicate
+        mesh, _, dim_axes = self.shard_ctx
+        eds = [d.dim.name for d in g.ext_domains]
+        ax = dim_axes.get(eds[0]) if len(eds) == 1 else None
+        if ax is None:
+            return self._replicate
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def rep(v):
+            if v.shape[0] % mesh.shape[ax] == 0:
+                parts = (ax,) + (None,) * (v.ndim - 1)
+                v = jax.lax.with_sharding_constraint(
+                    v, NamedSharding(mesh, PartitionSpec(*parts)))
+            return jax.lax.with_sharding_constraint(
+                v, NamedSharding(mesh, PartitionSpec()))
+
+        return rep
 
     # -- masks -------------------------------------------------------------
     def _eval_mask(self, im, inputs, U):
@@ -469,17 +530,26 @@ class CompiledSolver:
                 # AD buffers — measured 14 -> ~2 ms at BA 250k obs)
                 from .blocksparse import bsr_setup
 
+                # mesh mode: the jacobian pass gathers unknowns at edge
+                # endpoints (N-sharded source, R-sharded indices) — XLA
+                # lowers that as masked-partial + O(R)-byte all-reduce.
+                # One explicit O(N)-byte all-gather of the unknowns makes
+                # every edge gather local (outputs stay edge-sharded).
+                Ug = ({k: self._replicate(v) for k, v in U.items()}
+                      if self.shard_ctx else U)
                 if not g.mslots:
-                    r, jacs = g.point_jacobians_cm(U, inputs, c)
+                    r, jacs = g.point_jacobians_cm(Ug, inputs, c)
                     jacs = self._mask_jacs_cm(g, jacs, masks, inputs)
                     cm = True
                 else:
-                    r, jacs = g.point_jacobians(U, inputs, c)
+                    r, jacs = g.point_jacobians(Ug, inputs, c)
                     jacs = self._mask_jacs(g, jacs, masks, inputs)
                     cm = False
-                jtr_d, d2_d, blocks = bsr_setup(bsr, r, jacs, self.dtype,
-                                                block_dtype=self.block_dtype,
-                                                channel_major=cm)
+                jtr_d, d2_d, blocks = bsr_setup(
+                    bsr, r, jacs, self.dtype,
+                    block_dtype=self.block_dtype, channel_major=cm,
+                    replicate=(self._edge_replicate(g) if self.shard_ctx
+                               else None))
                 jac_store[str(gi)] = {"bsr": blocks}
                 for name, v in jtr_d.items():
                     mjtf[name] = mjtf[name] - v
@@ -500,7 +570,7 @@ class CompiledSolver:
                 name = jslots[i].image.name
                 mjtf[name] = mjtf[name] - g.scatter_jac_slot(i, jtr, inputs, c)
                 diag[name] = diag[name] + g.scatter_jac_slot(i, d2, inputs, c)
-        return mjtf, diag, jac_store
+        return self._constrain_tree(mjtf), self._constrain_tree(diag), jac_store
 
     def _mask_jacs(self, g, jacs, masks, inputs):
         out = []
@@ -572,7 +642,9 @@ class CompiledSolver:
             for bsr, blocks in bsr_groups:
                 from .blocksparse import bsr_apply
 
-                contrib = bsr_apply(bsr, blocks, pm)
+                contrib = bsr_apply(
+                    bsr, blocks, pm,
+                    replicate=(self._replicate if self.shard_ctx else None))
                 for name, v in contrib.items():
                     Ap[name] = Ap[name] + v
             if dense_mats:
@@ -623,7 +695,7 @@ class CompiledSolver:
                     contrib = jnp.einsum("pc...,pc->p...", jacs[i], Jp, precision=jax.lax.Precision.HIGHEST)
                     name = g.uslots[i].image.name
                     Ap[name] = Ap[name] + g.scatter_slot(i, contrib, inputs, gc)
-            return tree_mul(Ap, self._bmask(masks))
+            return self._constrain_tree(tree_mul(Ap, self._bmask(masks)))
 
         return apply_jtjp
 
