@@ -164,10 +164,15 @@ class SampledImage:
     the analytic derivative of the interpolant itself.
     """
 
-    def __init__(self, image: Image, *derivs: Image, is_array: bool = False):
+    def __init__(self, image: Image, *derivs: Image, is_array: bool = False,
+                 conditional: bool = False):
         self.image = image
         self.derivs = tuple(derivs)
         self.is_array = is_array  # SampledImageArray: (x, y, slice) sampling
+        # conditional trilinear semantics (reference thallo.t:931-980):
+        # invalid corners (out of bounds / -inf sentinel) are rejected
+        # and the interpolation weights renormalized
+        self.conditional = conditional
         self.name = f"sampled_{image.name}"
 
     @property

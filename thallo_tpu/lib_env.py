@@ -569,6 +569,13 @@ def make_env(spec: ProblemSpec):
         (reference SampledImageArray, bundle_fusion_solve.t:28-29)."""
         return _SampledImage(image, is_array=True)
 
+    def ConditionalSampledImageArray(image):
+        """3-D image array with the reference's CONDITIONAL sampling
+        (thallo.t:931-980): out-of-bounds / -inf-sentinel corners are
+        dropped and the bilinear weights renormalized (BundleFusion
+        missing-depth semantics)."""
+        return _SampledImage(image, is_array=True, conditional=True)
+
     env.update(
         Dims=Dims,
         Inputs=Inputs,
@@ -584,6 +591,7 @@ def make_env(spec: ProblemSpec):
         ComputedArray=ComputedArray,
         SampledImage=SampledImage,
         SampledImageArray=SampledImageArray,
+        ConditionalSampledImageArray=ConditionalSampledImageArray,
     )
     # math / helpers
     env.update(

@@ -285,21 +285,29 @@ class _IndexEnv:
     backend every eager op is a fresh executable (minutes of init)."""
 
     def __init__(self, axes: Dict[IndexDomain, int], shape: Tuple[int, ...], sparse_data,
-                 use_np: bool = False):
+                 use_np: bool = False, offsets=None):
         self.axes = axes  # domain -> axis position
         self.shape = shape
         self.sparse_data = sparse_data  # name -> [prod(in_dims), n_out] int32
         self.use_np = use_np
+        # axis -> (possibly traced) iota offset: contraction blocking
+        # evaluates index expressions over a SHIFTED sub-range of a
+        # contracted domain (lax.scan over K-blocks)
+        self.offsets = offsets or {}
 
     def _iota(self, axis):
         if self.use_np:
             n = self.shape[axis]
             view = [1] * len(self.shape)
             view[axis] = n
-            return np.broadcast_to(
+            it = np.broadcast_to(
                 np.arange(n, dtype=np.int32).reshape(view), self.shape
             )
-        return jax.lax.broadcasted_iota(jnp.int32, self.shape, axis)
+            off = self.offsets.get(axis)
+            return it if off is None else it + np.int32(off)
+        it = jax.lax.broadcasted_iota(jnp.int32, self.shape, axis)
+        off = self.offsets.get(axis)
+        return it if off is None else it + jnp.asarray(off, jnp.int32)
 
     def eval(self, comp: AffineComp):
         xp = np if self.use_np else jnp
@@ -361,7 +369,7 @@ class LoweredGroup:
     """
 
     def __init__(self, name: str, exprs: List[Exp], spec, sizes: Dict[str, int], dtype,
-                 domain_order=None):
+                 domain_order=None, con_splits=None):
         self.name = name
         self.dtype = dtype
         self.spec = spec
@@ -449,14 +457,96 @@ class LoweredGroup:
                     comps = tuple(substitute_index(c, mapping) for c in s.comps)
                     self.comp_slots.append((SlotSpec(s.image, comps, True), mi, k))
         self._F = self._make_local_fn()
+        # contraction blocking (the real `split`, reference thallo.t:
+        # 5678-5727 + in-register contraction thallo.t:5821-5884):
+        # lax.scan over K-blocks of one contracted domain bounds the
+        # materialized fiber memory instead of gathering the full
+        # (R x K) cross-product
+        self.con_block = self._plan_con_block(con_splits or {})
+        self._split_fns = {}
+
+    def _plan_con_block(self, con_splits):
+        """(domain, block, n_blocks) or None.  Eligible when every
+        Reduction covers the full contracted space (single reduction
+        layer: partial sums across blocks compose), nothing contracted
+        leaks outside a Reduction, no materialized CAs, and no excluded
+        unknowns are touched.  Activated by an explicit split(domain, f)
+        directive, or automatically when the materialized fiber bytes
+        exceed THALLO_CON_BLOCK_BYTES (default 128 MiB)."""
+        import os as _os
+
+        if not self.con_domains or self.mslots:
+            return None
+        conset = set(self.con_domains)
+        rnodes = self._reduction_nodes()
+        if not rnodes:
+            return None
+        for rn in rnodes:
+            if set(rn.domains) != conset:
+                return None  # partial/nested reductions: not blockable
+        # no Reduction nested inside another
+        def has_nested(e, inside):
+            if isinstance(e, Reduction):
+                if inside:
+                    return True
+                return has_nested(e.arg, True)
+            if isinstance(e, Apply):
+                return any(has_nested(a, inside) for a in e.args)
+            return False
+        if any(has_nested(e, False) for e in self.exprs):
+            return None
+        # every contracted leaf must sit inside a Reduction
+        def leaks(e, inside):
+            if isinstance(e, Reduction):
+                return False  # everything below is inside
+            if isinstance(e, (ImageAccess, BoundsAccess, IndexValue)):
+                comps = (e.comps if not isinstance(e, IndexValue)
+                         else (e.comp,))
+                deps = any(d in conset for c in comps for d in c.domains())
+                return deps and not inside
+            if isinstance(e, Apply):
+                return any(leaks(a, inside) for a in e.args)
+            return False
+        if any(leaks(e, False) for e in self.exprs):
+            return None
+        touched = {s.image.name for s in self.uslots}
+        if any(im.exclude_expr is not None for im in self.spec.unknowns
+               if im.name in touched):
+            return None
+        # the blocked domain: explicit split directive wins, else largest
+        split_dom = next((d for d in self.con_domains if d in con_splits),
+                         None)
+        dom = split_dom or max(self.con_domains, key=lambda d: d.dim.size)
+        size = dom.dim.size
+        # fiber bytes if NOT blocked (worst consumer: gathered slots +
+        # bounds/ivals over the full cross-product)
+        width = sum(
+            int(np.prod([d.dim.size for d in sl.dep_cons])) * sl.image.channels
+            for sl in list(self.uslots) + list(self.cslots) if sl.dep_cons)
+        fiber_bytes = self.R * max(width, 1) * 4
+        budget = int(_os.environ.get("THALLO_CON_BLOCK_BYTES", str(1 << 27)))
+        if split_dom is not None:
+            B = max(1, min(int(con_splits[split_dom]), size))
+        elif fiber_bytes > budget:
+            B = max(1, int(size * budget / fiber_bytes))
+        else:
+            return None
+        while size % B:
+            B -= 1  # largest divisor at or under the target width
+        if B >= size:
+            return None
+        return (dom, B, size // B)
 
     # -- slot index machinery ----------------------------------------------
-    def _slot_axes(self, dep_cons):
+    def _slot_axes(self, dep_cons, con_block=None):
         axes = {d: i for i, d in enumerate(self.ext_domains)}
         shape = list(self.ext_shape)
         for d in dep_cons:
             axes[d] = len(shape)
-            shape.append(d.dim.size)
+            if con_block is not None and d is con_block[0]:
+                shape.append(con_block[2])  # blocked width
+            else:
+                shape.append(d.dim.size)
         return axes, tuple(shape)
 
     def _roll_plan(self, slot: SlotSpec):
@@ -493,9 +583,14 @@ class LoweredGroup:
                 out[sm.name] = arr.reshape(-1, n_out)
         return out
 
-    def _slot_flat_indices(self, slot: SlotSpec, inputs, use_np: bool = False):
-        axes, shape = self._slot_axes(slot.dep_cons)
-        env = _IndexEnv(axes, shape, self._sparse_arrays(inputs), use_np=use_np)
+    def _slot_flat_indices(self, slot: SlotSpec, inputs, use_np: bool = False,
+                           con_block=None):
+        axes, shape = self._slot_axes(slot.dep_cons, con_block)
+        offsets = {}
+        if con_block is not None and con_block[0] in slot.dep_cons:
+            offsets[axes[con_block[0]]] = con_block[1]
+        env = _IndexEnv(axes, shape, self._sparse_arrays(inputs),
+                        use_np=use_np, offsets=offsets)
         im = slot.image
         flat = None
         for j, c in enumerate(slot.comps):
@@ -519,10 +614,19 @@ class LoweredGroup:
         return self._gather(slot, X[slot.image.name], inputs, stable,
                             plan=self._affine_plan(consts, i))
 
-    def _gather(self, slot: SlotSpec, img, inputs, stable=None, plan=None):
+    def _gather(self, slot: SlotSpec, img, inputs, stable=None, plan=None,
+                con_block=None):
         # use the array's own channel count: masks are gathered through
         # unknown slots but carry a single channel
         C = img.shape[-1]
+        if con_block is not None and con_block[0] in slot.dep_cons:
+            flat = self._slot_flat_indices(slot, inputs, con_block=con_block)
+            vals = img.reshape(-1, C).at[flat.reshape(-1)].get(
+                mode="promise_in_bounds")
+            dep_shape = tuple(
+                con_block[2] if d is con_block[0] else d.dim.size
+                for d in slot.dep_cons)
+            return vals.reshape((self.R,) + dep_shape + (C,))
         rp = self._roll_plan(slot)
         if rp is not None:
             used, shifts = rp
@@ -626,25 +730,39 @@ class LoweredGroup:
                     deps.append(d)
         return tuple(sorted(deps, key=self.con_domains.index))
 
-    def _bounds_value(self, b: BoundsAccess, inputs, use_np=False):
+    def _bounds_value(self, b: BoundsAccess, inputs, use_np=False,
+                      con_block=None):
         deps = self._comp_deps(b.comps)
-        axes, shape = self._slot_axes(deps)
-        env = _IndexEnv(axes, shape, self._sparse_arrays(inputs), use_np=use_np)
+        axes, shape = self._slot_axes(deps, con_block)
+        offsets = {}
+        if con_block is not None and con_block[0] in deps:
+            offsets[axes[con_block[0]]] = con_block[1]
+        env = _IndexEnv(axes, shape, self._sparse_arrays(inputs),
+                        use_np=use_np, offsets=offsets)
         ok = None
         for c, dm in zip(b.comps, b.dims):
             v = env.eval(c)
             cond = (v >= b.expand) & (v < dm.size - b.expand)
             ok = cond if ok is None else (ok & cond)
-        dep_shape = tuple(d.dim.size for d in deps)
+        dep_shape = tuple(
+            con_block[2] if con_block is not None and d is con_block[0]
+            else d.dim.size for d in deps)
         ok = ok.astype(np.float32 if use_np else self.dtype)
         return ok.reshape((self.R,) + dep_shape), deps
 
-    def _ival_value(self, iv: IndexValue, inputs, use_np=False):
+    def _ival_value(self, iv: IndexValue, inputs, use_np=False,
+                    con_block=None):
         deps = self._comp_deps((iv.comp,))
-        axes, shape = self._slot_axes(deps)
-        env = _IndexEnv(axes, shape, self._sparse_arrays(inputs), use_np=use_np)
+        axes, shape = self._slot_axes(deps, con_block)
+        offsets = {}
+        if con_block is not None and con_block[0] in deps:
+            offsets[axes[con_block[0]]] = con_block[1]
+        env = _IndexEnv(axes, shape, self._sparse_arrays(inputs),
+                        use_np=use_np, offsets=offsets)
         val = env.eval(iv.comp).astype(np.float32 if use_np else self.dtype)
-        dep_shape = tuple(d.dim.size for d in deps)
+        dep_shape = tuple(
+            con_block[2] if con_block is not None and d is con_block[0]
+            else d.dim.size for d in deps)
         return val.reshape((self.R,) + dep_shape), deps
 
     def _gather_const_np(self, slot: SlotSpec, img_np, inputs):
@@ -688,31 +806,54 @@ class LoweredGroup:
         concrete = not any(
             isinstance(v, jax.core.Tracer) for v in jax.tree_util.tree_leaves(inputs)
         )
+        blk_dom = self.con_block[0] if self.con_block is not None else None
         if concrete:
             # host-side (numpy) preparation + one upload per array: zero
-            # eager device compiles at init
+            # eager device compiles at init.  Slots/bounds depending on
+            # the BLOCKED contracted domain are not materialized (the
+            # whole point of blocking); the scan gathers them per block.
             def np_img(im):
                 a = np.asarray(inputs[im.name], dtype=np.float64)
                 return a.reshape(tuple(d.size for d in im.dims) + (im.channels,))
 
             cvals = [
+                None if blk_dom in s.dep_cons else
                 jnp.asarray(self._gather_const_np(s, np_img(s.image), inputs),
                             dtype=self.dtype)
                 for s in self.cslots
             ]
-            bpairs = [self._bounds_value(b, inputs, use_np=True)
-                      for b in self.col.bounds.values()]
-            bpairs = [(jnp.asarray(v, dtype=self.dtype), d) for v, d in bpairs]
-            ipairs = [self._ival_value(v, inputs, use_np=True)
-                      for v in self.col.ivals.values()]
-            ipairs = [(jnp.asarray(v, dtype=self.dtype), d) for v, d in ipairs]
+            bpairs = []
+            for b in self.col.bounds.values():
+                deps = self._comp_deps(b.comps)
+                if blk_dom in deps:
+                    bpairs.append((None, deps))
+                    continue
+                v, d = self._bounds_value(b, inputs, use_np=True)
+                bpairs.append((jnp.asarray(v, dtype=self.dtype), d))
+            ipairs = []
+            for v_ in self.col.ivals.values():
+                deps = self._comp_deps((v_.comp,))
+                if blk_dom in deps:
+                    ipairs.append((None, deps))
+                    continue
+                v, d = self._ival_value(v_, inputs, use_np=True)
+                ipairs.append((jnp.asarray(v, dtype=self.dtype), d))
         else:
             cvals = [
+                None if blk_dom in s.dep_cons else
                 self._gather(s, self._image_array(s.image, inputs), inputs)
                 for s in self.cslots
             ]
-            bpairs = [self._bounds_value(b, inputs) for b in self.col.bounds.values()]
-            ipairs = [self._ival_value(v, inputs) for v in self.col.ivals.values()]
+            bpairs = [
+                ((None, self._comp_deps(b.comps))
+                 if blk_dom in self._comp_deps(b.comps)
+                 else self._bounds_value(b, inputs))
+                for b in self.col.bounds.values()]
+            ipairs = [
+                ((None, self._comp_deps((v.comp,)))
+                 if blk_dom in self._comp_deps((v.comp,))
+                 else self._ival_value(v, inputs))
+                for v in self.col.ivals.values()]
         params = {
             p.name: jnp.asarray(inputs[p.name], dtype=self.dtype)
             for p in self.col.params.values()
@@ -782,31 +923,71 @@ class LoweredGroup:
         }
 
     # -- the local function -------------------------------------------------
-    def _place_in_con(self, val, dep_cons):
+    def _place_in_con(self, val, dep_cons, con_sizes=None):
         """Reshape a value over [*dep_con_shape] to full con rank with 1s at
-        non-dependent positions (row-major insert of singleton axes)."""
+        non-dependent positions (row-major insert of singleton axes).
+        con_sizes overrides the con-domain extents (contraction
+        blocking: the blocked domain runs at its block width)."""
         ncon = len(self.con_domains)
         if ncon == 0:
             return val
+        sizes = con_sizes or tuple(d.dim.size for d in self.con_domains)
         pos = {self.con_domains.index(d) for d in dep_cons}
-        shape = tuple(
-            self.con_domains[a].dim.size if a in pos else 1 for a in range(ncon)
-        )
+        shape = tuple(sizes[a] if a in pos else 1 for a in range(ncon))
         return jnp.reshape(val, shape)
 
     def _make_local_fn(self):
+        return self._build_local_fn()
+
+    def _reduction_nodes(self):
+        """Deterministic list of distinct Reduction nodes across exprs."""
+        seen = {}
+        out = []
+
+        def walk(e):
+            if id(e) in seen:
+                return
+            seen[id(e)] = True
+            if isinstance(e, Reduction):
+                out.append(e)
+                walk(e.arg)
+            elif isinstance(e, Apply):
+                for a in e.args:
+                    walk(a)
+
+        for e in self.exprs:
+            walk(e)
+        return out
+
+    def _build_local_fn(self, con_sizes=None, mode="full"):
+        """The per-point evaluator.  mode:
+          "full"  — evaluate exprs over the full contraction space;
+          "inner" — evaluate only the Reduction subtrees over a BLOCK of
+                    the contraction space (con_sizes carries the block
+                    width) and return their partial sums [nRN];
+          "outer" — evaluate exprs with Reduction values injected as a
+                    leading [nRN] argument (contraction blocking:
+                    reference split / in-register contraction,
+                    thallo.t:5678-5727,5821-5884)."""
         ops = _make_ops(self.dtype)
         ukeys = {s.key: i for i, s in enumerate(self.uslots)}
         ckeys = {s.key: i for i, s in enumerate(self.cslots)}
         bkeys = {k: i for i, k in enumerate(self.col.bounds.keys())}
         ikeys = {k: i for i, k in enumerate(self.col.ivals.keys())}
         con_domains = self.con_domains
-        con_shape = self.con_shape
+        con_shape = con_sizes or self.con_shape
         exprs = self.exprs
+        rnodes = self._reduction_nodes() if mode in ("inner", "outer") else []
+        rindex = {id(rn): k for k, rn in enumerate(rnodes)}
 
         mkeys = {s.key: i for i, s in enumerate(self.mslots)}
 
-        def F(uvals, mvals, cvals, bvals, ivals, bdeps, ideps, params, simgs):
+        def F(*args):
+            if mode == "outer":
+                red = args[0]
+                args = args[1:]
+            (uvals, mvals, cvals, bvals, ivals, bdeps, ideps, params,
+             simgs) = args
             cache = {}
 
             def ev(e: Exp):
@@ -818,34 +999,38 @@ class LoweredGroup:
                 elif isinstance(e, Apply):
                     r = ops[e.op](*[ev(a) for a in e.args])
                 elif isinstance(e, Reduction):
-                    v = ev(e.arg)
-                    axes = tuple(con_domains.index(d) for d in e.domains)
-                    if jnp.ndim(v) < len(con_domains):
-                        v = jnp.reshape(v, (1,) * len(con_domains))
-                    # expand only the axes being reduced to their full size
-                    tgt = tuple(
-                        con_shape[a] if a in axes else v.shape[a]
-                        for a in range(len(con_domains))
-                    )
-                    v = jnp.broadcast_to(v, tgt)
-                    r = jnp.sum(v, axis=axes, keepdims=True)
+                    if mode == "outer":
+                        r = jnp.reshape(red[rindex[id(e)]],
+                                        (1,) * len(con_domains))
+                    else:
+                        v = ev(e.arg)
+                        axes = tuple(con_domains.index(d) for d in e.domains)
+                        if jnp.ndim(v) < len(con_domains):
+                            v = jnp.reshape(v, (1,) * len(con_domains))
+                        # expand only the axes being reduced to full size
+                        tgt = tuple(
+                            con_shape[a] if a in axes else v.shape[a]
+                            for a in range(len(con_domains))
+                        )
+                        v = jnp.broadcast_to(v, tgt)
+                        r = jnp.sum(v, axis=axes, keepdims=True)
                 elif isinstance(e, ImageAccess):
                     k = (id(e.image), e.comps)
                     if e.image.kind == "unknown":
                         i = ukeys[k]
-                        r = self._place_in_con(uvals[i][..., e.channel], self.uslots[i].dep_cons)
+                        r = self._place_in_con(uvals[i][..., e.channel], self.uslots[i].dep_cons, con_shape)
                     elif e.image.kind == "computed":
                         i = mkeys[k]
-                        r = self._place_in_con(mvals[i][..., e.channel], self.mslots[i].dep_cons)
+                        r = self._place_in_con(mvals[i][..., e.channel], self.mslots[i].dep_cons, con_shape)
                     else:
                         i = ckeys[k]
-                        r = self._place_in_con(cvals[i][..., e.channel], self.cslots[i].dep_cons)
+                        r = self._place_in_con(cvals[i][..., e.channel], self.cslots[i].dep_cons, con_shape)
                 elif isinstance(e, BoundsAccess):
                     i = bkeys[("bounds", e.comps, e.dims, e.expand)]
-                    r = self._place_in_con(bvals[i], bdeps[i])
+                    r = self._place_in_con(bvals[i], bdeps[i], con_shape)
                 elif isinstance(e, IndexValue):
                     i = ikeys[("ival", e.comp)]
-                    r = self._place_in_con(ivals[i], ideps[i])
+                    r = self._place_in_con(ivals[i], ideps[i], con_shape)
                 elif isinstance(e, ParamValue):
                     r = params[e.param.name]
                 elif isinstance(e, SampleAccess):
@@ -853,7 +1038,12 @@ class LoweredGroup:
                     simg = e.sampled
                     imgs = simgs[simg.name]
                     if getattr(simg, "is_array", False):
-                        val = array_bilinear_sample(imgs[0], *coords)
+                        if getattr(simg, "conditional", False):
+                            from .ops.sampling import conditional_array_sample
+
+                            val = conditional_array_sample(imgs[0], *coords)
+                        else:
+                            val = array_bilinear_sample(imgs[0], *coords)
                     elif simg.derivs:
                         val = sample_with_deriv_images(
                             imgs[0], imgs[1], imgs[2], coords[0], coords[1]
@@ -866,6 +1056,12 @@ class LoweredGroup:
                 cache[id(e)] = r
                 return r
 
+            if mode == "inner":
+                parts = []
+                for rn in rnodes:
+                    v = ev(rn)  # partial sum over this BLOCK
+                    parts.append(jnp.reshape(v, ()))
+                return jnp.stack(parts)
             outs = []
             for e in exprs:
                 v = jnp.asarray(ev(e))
@@ -1029,11 +1225,22 @@ class LoweredGroup:
     # local fn is vmapped over axis 1, and both AD passes then read and
     # write only [*, R] buffers whose padding is the small sublane axis.
     def gather_slot_cm(self, slot: SlotSpec, img, inputs) -> jnp.ndarray:
-        """[C, R] minor-axis gather (no (8,128)-tile read amplification)."""
+        """[C, R] minor-axis gather (no (8,128)-tile read amplification);
+        small sources go through the one-hot MXU gather instead of paying
+        the per-index floor (ops/segsum.minor_gather_onehot)."""
         C = img.shape[-1]
-        flat = self._slot_flat_indices(slot, inputs)
+        flat = self._slot_flat_indices(slot, inputs).reshape(-1)
         srcT = img.reshape(-1, C).T  # [C, N] — tiny relayout of the image
-        return srcT.at[:, flat.reshape(-1)].get(mode="promise_in_bounds")
+        return self._minor_gather(srcT, flat)
+
+    @staticmethod
+    def _minor_gather(cat, flat):
+        from .ops.segsum import ONEHOT_MAX_SEGMENTS, minor_gather_onehot
+
+        S = cat.shape[1]
+        if S <= ONEHOT_MAX_SEGMENTS and flat.size > 4 * S:
+            return minor_gather_onehot(cat, flat, S)
+        return cat.at[:, flat].get(mode="promise_in_bounds")
 
     def gather_all_cm(self, X, inputs, consts=None):
         """All unknown slots, channel-major, with same-index slots SHARING
@@ -1080,7 +1287,7 @@ class LoweredGroup:
                 g = structured.apply_slot_plan_minor(cat, plan)
             if g is None:
                 flat = self._slot_flat_indices(s0, inputs).reshape(-1)
-                g = cat.at[:, flat].get(mode="promise_in_bounds")
+                g = self._minor_gather(cat, flat)
             off = 0
             for i in idxs:
                 C = self.uslots[i].image.channels
@@ -1149,6 +1356,8 @@ class LoweredGroup:
     def residuals(self, X, inputs, consts=None):
         """r(U): [R, rc]"""
         consts = consts if consts is not None else self.prepared_consts(inputs)
+        if self.con_block is not None:
+            return self._residuals_blocked(X, inputs, consts)
         uvals = self.gather_all(X, inputs, consts)
         mvals = None
         if self.mslots:
@@ -1173,6 +1382,13 @@ class LoweredGroup:
         jac_slots: direct-slot jacobians followed by composed-slot chain
         products dr/dCA . dCA/du_k (CA gradient arrays, the analog of the
         reference's gradient images, thallo.t:1777-1822)."""
+        if self.con_block is not None:
+            raise RuntimeError(
+                f"group {self.name!r} runs with blocked contractions "
+                f"(split over {self.con_block[0].dim.name}, block "
+                f"{self.con_block[1]}): per-point jacobians would "
+                "materialize the full fiber; use blocked_jtf_diag / "
+                "jvp-vjp of residuals instead")
         if self.mslots:
             if self.ca_jac_ok:
                 return self._point_jacobians_fwd(X, inputs, consts)
@@ -1276,6 +1492,268 @@ class LoweredGroup:
         return jax.vmap(point, in_axes=(0, 0, 0, 0))(
             uvals, consts["cvals"], consts["barrs"], consts["iarrs"]
         )
+
+
+    # -- contraction blocking (real `split`) --------------------------------
+    # The reference iterates contracted domains in-register per thread
+    # (thallo.t:5821-5884) and lets split/full_split retile them
+    # (thallo.t:5678-5727).  The TPU equivalent: lax.scan over K-blocks of
+    # one contracted domain, gathering only a [R, B, ...] fiber slice per
+    # step (jax.checkpoint keeps the AD memory at one block).  The
+    # expression DAG splits at Reduction boundaries: F_inner evaluates
+    # each Sum's BLOCK-PARTIAL value, partials accumulate across the
+    # scan, F_outer finishes the (possibly nonlinear) post-reduction
+    # expression from the injected sums.
+    def _fns_for_block(self, B):
+        key = B
+        if key not in self._split_fns:
+            sizes = tuple(B if d is self.con_block[0] else d.dim.size
+                          for d in self.con_domains)
+            self._split_fns[key] = (
+                self._build_local_fn(con_sizes=sizes, mode="inner"),
+                self._build_local_fn(mode="outer"),
+                len(self._reduction_nodes()),
+            )
+        return self._split_fns[key]
+
+    def _ximg(self, X, im):
+        return X[im.name].reshape(tuple(d.size for d in im.dims)
+                                  + (im.channels,))
+
+    def _blocked_operands(self, X, inputs, consts):
+        """Static (block-invariant) operands + a per-block loader.
+        Returns (static dict, load(b0) -> (uvals, cvals, bvals, ivals)
+        with blocked entries at dom-dependent positions)."""
+        dom, B, nblk = self.con_block
+        u_static = [
+            None if dom in sl.dep_cons else self.gather_slot(i, X, inputs, consts)
+            for i, sl in enumerate(self.uslots)
+        ]
+        c_static = [
+            None if dom in sl.dep_cons else consts["cvals"][i]
+            for i, sl in enumerate(self.cslots)
+        ]
+        bdeps, ideps = self._bdeps_static, self._ideps_static
+        b_static = [consts["barrs"][i] if dom not in bdeps[i] else None
+                    for i in range(len(bdeps))]
+        i_static = [consts["iarrs"][i] if dom not in ideps[i] else None
+                    for i in range(len(ideps))]
+        blist = list(self.col.bounds.values())
+        ilist = list(self.col.ivals.values())
+        cimgs = {sl.image.name: self._image_array(sl.image, inputs)
+                 for sl in self.cslots if dom in sl.dep_cons}
+
+        def load(b0):
+            cb = (dom, b0 * B, B)
+            uv = [u_static[i] if u_static[i] is not None else
+                  self._gather(sl, self._ximg(X, sl.image), inputs,
+                               con_block=cb)
+                  for i, sl in enumerate(self.uslots)]
+            cv = [c_static[i] if c_static[i] is not None else
+                  self._gather(sl, cimgs[sl.image.name], inputs,
+                               con_block=cb)
+                  for i, sl in enumerate(self.cslots)]
+            bv = [b_static[i] if b_static[i] is not None else
+                  self._bounds_value(blist[i], inputs, con_block=cb)[0]
+                  for i in range(len(bdeps))]
+            iv = [i_static[i] if i_static[i] is not None else
+                  self._ival_value(ilist[i], inputs, con_block=cb)[0]
+                  for i in range(len(ideps))]
+            return uv, cv, bv, iv
+
+        return u_static, load
+
+    def _blocked_reductions(self, X, inputs, consts):
+        """[R, nRN] accumulated Reduction values via the checkpointed
+        block scan."""
+        dom, B, nblk = self.con_block
+        F_in, _, nRN = self._fns_for_block(B)
+        bdeps, ideps = self._bdeps_static, self._ideps_static
+        params, simgs = consts["params"], consts["simgs"]
+        _, load = self._blocked_operands(X, inputs, consts)
+
+        def point(u, c, b, iv):
+            return F_in(u, [], c, b, iv, bdeps, ideps, params, simgs)
+
+        def body(carry, b0):
+            uv, cv, bv, iv = load(b0)
+            part = jax.vmap(point, in_axes=(0, 0, 0, 0))(uv, cv, bv, iv)
+            return carry + part, None
+
+        red, _ = jax.lax.scan(
+            jax.checkpoint(body),
+            jnp.zeros((self.R, len(self._reduction_nodes())), self.dtype),
+            jnp.arange(self.con_block[2]),
+        )
+        return red
+
+    def _outer_eval(self, red, X, inputs, consts):
+        """[R, rc] residuals from accumulated reductions + static slots."""
+        _, F_out, _ = self._fns_for_block(self.con_block[1])
+        bdeps, ideps = self._bdeps_static, self._ideps_static
+        params, simgs = consts["params"], consts["simgs"]
+        u_static, _ = self._blocked_operands(X, inputs, consts)
+        c_static = [None if self.con_block[0] in sl.dep_cons
+                    else consts["cvals"][i]
+                    for i, sl in enumerate(self.cslots)]
+        b_static = [consts["barrs"][i] if self.con_block[0] not in bdeps[i]
+                    else None for i in range(len(bdeps))]
+        i_static = [consts["iarrs"][i] if self.con_block[0] not in ideps[i]
+                    else None for i in range(len(ideps))]
+
+        def point(rd, u, c, b, iv):
+            return F_out(rd, u, [], c, b, iv, bdeps, ideps, params, simgs)
+
+        return jax.vmap(point, in_axes=(0, 0, 0, 0, 0))(
+            red, u_static, c_static, b_static, i_static)
+
+    def _residuals_blocked(self, X, inputs, consts):
+        red = self._blocked_reductions(X, inputs, consts)
+        return self._outer_eval(red, X, inputs, consts)
+
+    def blocked_jtf_diag(self, X, inputs, consts):
+        """(r [R, rc], mjtf dict, diag dict) with fiber memory bounded by
+        one contraction block — the blocked counterpart of
+        jtf_and_diag's per-point jacobians (which would materialize
+        [R, rc, K, C]).  Derivatives factor through the reduction values:
+        J = dF_outer/du + dF_outer/dred . dred/du, where dred/du for
+        dom-dependent slots is block-local (computed and consumed inside
+        the pass-2 scan) and for static slots accumulates over pass 1."""
+        dom, B, nblk = self.con_block
+        F_in, F_out, nRN = self._fns_for_block(B)
+        bdeps, ideps = self._bdeps_static, self._ideps_static
+        params, simgs = consts["params"], consts["simgs"]
+        u_static, load = self._blocked_operands(X, inputs, consts)
+        dtype = self.dtype
+        dom_slots = [i for i, sl in enumerate(self.uslots)
+                     if dom in sl.dep_cons]
+        stat_slots = [i for i, sl in enumerate(self.uslots)
+                      if dom not in sl.dep_cons]
+
+        def point_inner(u_stat, u_dom, c, b, iv):
+            uv = [None] * len(self.uslots)
+            for k, i in enumerate(stat_slots):
+                uv[i] = u_stat[k]
+            for k, i in enumerate(dom_slots):
+                uv[i] = u_dom[k]
+            return F_in(uv, [], c, b, iv, bdeps, ideps, params, simgs)
+
+        def split_u(uv):
+            return ([uv[i] for i in stat_slots], [uv[i] for i in dom_slots])
+
+        # ---- pass 1: red + dred/du for static slots --------------------
+        dstat0 = [jnp.zeros((self.R, nRN) + u_static[i].shape[1:], dtype)
+                  for i in stat_slots]
+
+        def body1(carry, b0):
+            red_c, dstat_c = carry
+            uv, cv, bv, iv = load(b0)
+            us, ud = split_u(uv)
+
+            def f(us_, ud_, c, b, iv_):
+                return point_inner(us_, ud_, c, b, iv_)
+
+            part = jax.vmap(f, in_axes=(0, 0, 0, 0, 0))(us, ud, cv, bv, iv)
+            if stat_slots:
+                dpart = jax.vmap(jax.jacfwd(f, argnums=0),
+                                 in_axes=(0, 0, 0, 0, 0))(us, ud, cv, bv, iv)
+                dstat_c = [a + b_ for a, b_ in zip(dstat_c, dpart)]
+            return (red_c + part, dstat_c), None
+
+        (red, dstat), _ = jax.lax.scan(
+            jax.checkpoint(body1),
+            (jnp.zeros((self.R, nRN), dtype), dstat0), jnp.arange(nblk))
+
+        # ---- outer: r, dF_outer/dred, dF_outer/du_static ----------------
+        c_static = [None if dom in sl.dep_cons else consts["cvals"][i]
+                    for i, sl in enumerate(self.cslots)]
+        b_static = [consts["barrs"][i] if dom not in bdeps[i] else None
+                    for i in range(len(bdeps))]
+        i_static = [consts["iarrs"][i] if dom not in ideps[i] else None
+                    for i in range(len(ideps))]
+
+        def point_outer(rd, u_stat, c, b, iv):
+            uv = [None] * len(self.uslots)
+            for k, i in enumerate(stat_slots):
+                uv[i] = u_stat[k]
+            # dom slots never appear outside reductions (gating)
+            return F_out(rd, uv, [], c, b, iv, bdeps, ideps, params, simgs)
+
+        us_full = [u_static[i] for i in stat_slots]
+        r = jax.vmap(point_outer, in_axes=(0, 0, 0, 0, 0))(
+            red, us_full, c_static, b_static, i_static)
+        d_outer = jax.vmap(jax.jacfwd(point_outer, argnums=(0, 1)),
+                           in_axes=(0, 0, 0, 0, 0))(
+            red, us_full, c_static, b_static, i_static)
+        do_dred, do_dstat = d_outer  # [R, rc, nRN], list [R, rc, *dep, C]
+
+        mjtf: Dict[str, jnp.ndarray] = {}
+        diag: Dict[str, jnp.ndarray] = {}
+
+        def add(out, name, v):
+            out[name] = out.get(name, 0) + v
+
+        # static slots: full J via the chain rule, standard scatter
+        for k, i in enumerate(stat_slots):
+            sl = self.uslots[i]
+            chain = jnp.einsum("pcn,pn...->pc...", do_dred, dstat[k],
+                               precision=jax.lax.Precision.HIGHEST)
+            J = do_dstat[k] + chain  # [R, rc, *dep, C]
+            jtr = jnp.einsum("pc...,pc->p...", J, r,
+                             precision=jax.lax.Precision.HIGHEST)
+            d2 = jnp.sum(J * J, axis=1)
+            add(mjtf, sl.image.name, self._scatter(sl, jtr, inputs))
+            add(diag, sl.image.name, self._scatter(sl, d2, inputs))
+
+        # dom slots: block-local jacobians, blocked scatters (pass 2)
+        if dom_slots:
+            imshapes = [tuple(d.size for d in self.uslots[i].image.dims)
+                        + (self.uslots[i].image.channels,)
+                        for i in dom_slots]
+            acc0 = ([jnp.zeros(sh, dtype) for sh in imshapes],
+                    [jnp.zeros(sh, dtype) for sh in imshapes])
+
+            def body2(carry, b0):
+                jt_c, d2_c = carry
+                uv, cv, bv, iv = load(b0)
+                us, ud = split_u(uv)
+                dred_dud = jax.vmap(jax.jacrev(point_inner, argnums=1),
+                                    in_axes=(0, 0, 0, 0, 0))(
+                    us, ud, cv, bv, iv)  # list: [R, nRN, B, *odep, C]
+                cb = (dom, b0 * B, B)
+                jt_n, d2_n = [], []
+                for k, i in enumerate(dom_slots):
+                    sl = self.uslots[i]
+                    Jb = jnp.einsum("pcn,pn...->pc...", do_dred,
+                                    dred_dud[k],
+                                    precision=jax.lax.Precision.HIGHEST)
+                    jtr = jnp.einsum("pc...,pc->p...", Jb, r,
+                                     precision=jax.lax.Precision.HIGHEST)
+                    d2 = jnp.sum(Jb * Jb, axis=1)
+                    jt_n.append(jt_c[k] + self._scatter_blocked(
+                        sl, jtr, inputs, cb))
+                    d2_n.append(d2_c[k] + self._scatter_blocked(
+                        sl, d2, inputs, cb))
+                return (jt_n, d2_n), None
+
+            (jt_acc, d2_acc), _ = jax.lax.scan(
+                jax.checkpoint(body2), acc0, jnp.arange(nblk))
+            for k, i in enumerate(dom_slots):
+                name = self.uslots[i].image.name
+                add(mjtf, name, jt_acc[k])
+                add(diag, name, d2_acc[k])
+        return r, mjtf, diag
+
+    def _scatter_blocked(self, slot, vals, inputs, con_block):
+        """Sum-scatter a BLOCK fiber [R, B, *odep, C] into image shape."""
+        im = slot.image
+        C = im.channels
+        imshape = tuple(d.size for d in im.dims) + (C,)
+        flat = self._slot_flat_indices(slot, inputs, con_block=con_block)
+        seg = jax.ops.segment_sum(
+            vals.reshape(-1, C), flat.reshape(-1),
+            num_segments=int(np.prod(imshape[:-1])))
+        return seg.reshape(imshape)
 
 
 def lower_pointwise(exprs: List[Exp], spec, sizes, dtype, name="expr"):

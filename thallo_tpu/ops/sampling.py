@@ -92,3 +92,46 @@ def array_bilinear_sample(img: jnp.ndarray, x, y, t):
         + g(i0, j0 + 1) * (1 - fx) * fy
         + g(i0 + 1, j0 + 1) * fx * fy
     )
+
+
+def conditional_array_sample(img: jnp.ndarray, x, y, t):
+    """The reference's CONDITIONAL per-slice bilinear sample for 3-D
+    image arrays (/root/reference/API/src/thallo.t:931-980): corners
+    that are out of bounds or hold the invalid sentinel (first channel
+    == -inf, how BundleFusion marks missing depth) are DROPPED and the
+    remaining weights renormalized — first horizontally per row, then
+    vertically across the two row results; if every corner is invalid
+    the sample is the sentinel itself.  The slice index t is not
+    differentiated."""
+    W, H, T = img.shape[0], img.shape[1], img.shape[2]
+    ti = jnp.clip(jnp.round(jax.lax.stop_gradient(t)).astype(jnp.int32),
+                  0, T - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    ax = (x - x0)[..., None]
+    by = (y - y0)[..., None]
+    i0 = x0.astype(jnp.int32)
+    j0 = y0.astype(jnp.int32)
+    neg_inf = jnp.asarray(-jnp.inf, img.dtype)
+
+    def corner(ix, iy):
+        inb = (ix >= 0) & (iy >= 0) & (ix < W) & (iy < H)
+        v = img[jnp.clip(ix, 0, W - 1), jnp.clip(iy, 0, H - 1), ti]
+        valid = (inb & (v[..., 0] != neg_inf))[..., None]
+        vz = jnp.where(valid, v, 0.0)
+        return vz, valid.astype(img.dtype)
+
+    def row(iy, beta_w):
+        v0, m0 = corner(i0, iy)
+        v1, m1 = corner(i0 + 1, iy)
+        srow = v0 * (1 - ax) * m0 + v1 * ax * m1
+        wrow = (1 - ax) * m0 + ax * m1
+        p = srow / jnp.where(wrow > 0, wrow, 1.0)
+        has = (wrow > 0).astype(img.dtype)
+        return p * beta_w * has, beta_w * has
+
+    s0, w0 = row(j0, (1 - by))
+    s1, w1 = row(j0 + 1, by)
+    ss, ww = s0 + s1, w0 + w1
+    out = ss / jnp.where(ww > 0, ww, 1.0)
+    return jnp.where(ww > 0, out, neg_inf)

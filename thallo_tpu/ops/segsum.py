@@ -116,6 +116,25 @@ def gather_with_onehot_transpose(src, idx, num_segments):
     )
 
 
+def minor_gather_onehot(cat: jnp.ndarray, idx: jnp.ndarray, n_src: int) -> jnp.ndarray:
+    """Channel-major gather cat[:, idx] ([C, N] -> [C, R]) as a one-hot
+    MXU matmul for SMALL sources: per-index gathers cost ~8-12 cycles on
+    TPU regardless of width (PERF.md), so a 250k-index read of a
+    256-camera image costs ~3 ms as a gather but ~0.03 ms as a matmul
+    (2*C*R*N FLOPs).  Exact: each one-hot column selects one element, so
+    the accumulation has a single nonzero term.  The AD transpose is the
+    transposed matmul = the one-hot segment sum, also scatter-free."""
+    onehot = (
+        idx[None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (n_src, idx.shape[0]), 0)
+    ).astype(cat.dtype)
+    return jax.lax.dot_general(
+        cat, onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def tiled_segment_sum(data: jnp.ndarray, plan: SegSumPlan) -> jnp.ndarray:
     """data: [M, C] -> [num_segments, C], scatter-free (XLA einsum
     variant; see pallas_segment_sum for the VMEM-resident kernel)."""

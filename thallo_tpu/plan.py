@@ -53,6 +53,9 @@ def _enable_compile_cache():
     _cache_enabled = True
 
 
+_ANY_PLAN_CREATED = [False]  # x64-flip warning bookkeeping (docs/API.md)
+
+
 def make_plan(spec: ProblemSpec, dim_sizes, solver="gauss_newton", **options):
     _enable_compile_cache()
     return Plan(spec, dim_sizes, solver, **options)
@@ -71,8 +74,18 @@ class Plan:
             # all in JAX.  All host->device conversions in this package pass
             # explicit dtypes, so already-compiled f32 plans are unaffected;
             # only code OUTSIDE the framework relying on implicit f32
-            # promotion could observe the flip.
+            # promotion could observe the flip (docs/API.md "Precision").
+            if not jax.config.jax_enable_x64 and _ANY_PLAN_CREATED[0]:
+                import warnings
+
+                warnings.warn(
+                    "double_precision plan enables jax_enable_x64 for the "
+                    "WHOLE process; plans created earlier in this process "
+                    "keep their dtypes, but outside code relying on "
+                    "implicit f32 promotion will now see f64 "
+                    "(docs/API.md#precision)", stacklevel=3)
             jax.config.update("jax_enable_x64", True)
+        _ANY_PLAN_CREATED[0] = True
 
         # bind dim sizes (reference: dims bound at plan time from the C
         # dimensions array, thallo.t:577-584)
@@ -278,8 +291,13 @@ class Plan:
                 dorder = next((nr._reorder for nr in nrs if nr._reorder), None)
             else:
                 dorder = None  # autoscheduler clears directives (thallo.t:5166)
+            con_splits = {}
+            for nr in nrs:
+                for sp_ in getattr(nr, "_splits", []):
+                    if isinstance(sp_, tuple):
+                        con_splits[sp_[0]] = sp_[1]
             lg = LoweredGroup(name, exprs, spec, self.dim_sizes, self.dtype,
-                              domain_order=dorder)
+                              domain_order=dorder, con_splits=con_splits)
             user_directed = any(
                 any(nr._materialize.values()) or any(nr._sparse_mat.values())
                 for nr in nrs
@@ -809,7 +827,7 @@ class Plan:
     def get_performance_summary(self) -> PerfSummary:
         return self.timer.summary()
 
-    def kernel_stats(self, n_probe: int = 3) -> PerfSummary:
+    def kernel_stats(self, n_probe: int = 3, interior: bool = False) -> PerfSummary:
         """Per-kernel timing rows (reference timingLevel 2/3 per-kernel
         CUDA-event table, util.t:774-790).  Each solver-facing kernel
         (computeCost / PCGInit1 / PCGStep1/2/3 / PCGLinearUpdate) is
@@ -817,9 +835,14 @@ class Plan:
         into the same stats the markdown table renders.  Runs
         automatically on the first step at timingLevel>=3; XLA fuses the
         production step, so these rows are isolated-probe measurements,
-        not interior timings of the fused executable."""
+        not interior timings of the fused executable — pass
+        interior=True for the real interior breakdown parsed from a
+        profiler trace of ONE production step (top fused-kernel
+        durations, the reference's invasive timingLevel=3 analog)."""
         if self._U is None:
             raise RuntimeError("call init() before kernel_stats()")
+        if interior:
+            return self._interior_kernel_stats()
         comp = self.compiled
         ins, sp, prep = self._step_inputs(), self._sp(), self._prep
         probes = comp.kernel_probe_fns()
@@ -841,6 +864,47 @@ class Plan:
             for _ in range(n_probe):
                 with self.timer.event(name):
                     jax.block_until_ready(call(jfn))
+        return self.timer.summary()
+
+    def _interior_kernel_stats(self, top_k: int = 20) -> PerfSummary:
+        """Interior timing of the PRODUCTION step: run one (already
+        compiled) step under jax.profiler.trace and aggregate the XLA
+        device-event durations by fused-kernel name (the reference wraps
+        every launch in CUDA events, util.t:774-790; under XLA the step
+        is a handful of fusions, so the honest interior view is the
+        trace).  Rows land in the same PerfSummary table."""
+        import glob
+        import tempfile
+
+        from jax.profiler import ProfileData
+
+        self.step()  # ensure compiled/warm outside the trace
+        with tempfile.TemporaryDirectory() as td:
+            with jax.profiler.trace(td):
+                self.step()
+                jax.block_until_ready(self._U)
+            files = glob.glob(f"{td}/**/*.xplane.pb", recursive=True)
+            if not files:
+                raise RuntimeError("profiler produced no xplane trace")
+            data = ProfileData.from_serialized_xspace(
+                open(sorted(files)[-1], "rb").read())
+            durs = {}
+            for plane in data.planes:
+                pname = plane.name.lower()
+                if "cpu" in pname and "tpu" not in pname and                         "device" not in pname:
+                    continue  # host threads: we want device kernels
+                for line in plane.lines:
+                    for ev in line.events:
+                        name = ev.name
+                        ns = ev.duration_ns
+                        if not ns or name.startswith("$"):
+                            continue
+                        durs[name] = durs.get(name, 0) + ns
+        from .utils.timer import RunningStats
+
+        for name, ns in sorted(durs.items(), key=lambda kv: -kv[1])[:top_k]:
+            self.timer._stats.setdefault(
+                f"interior:{name[:48]}", RunningStats()).push(ns / 1e9)
         return self.timer.summary()
 
     @property

@@ -514,6 +514,16 @@ class CompiledSolver:
         diag = {k: jnp.zeros_like(v) for k, v in mjtf.items()}
         for gi, (gp, c) in enumerate(zip(self.groups, consts)):
             g = gp.jac_group()
+            if g.con_block is not None:
+                # blocked contractions (real `split`): jtf/diag computed
+                # through the reduction chain rule with one-block fiber
+                # memory (lower.blocked_jtf_diag); J^T J p stays INLINE
+                _, jtf_d, d2_d = g.blocked_jtf_diag(U, inputs, c)
+                for name, v in jtf_d.items():
+                    mjtf[name] = mjtf[name] - v
+                for name, v in d2_d.items():
+                    diag[name] = diag[name] + v
+                continue
             if not g.jac_slots:
                 continue
             if gp.inline_group is not None:
@@ -616,7 +626,13 @@ class CompiledSolver:
                      and twin_consts[gi] is not None else consts[gi])
                 bsr_groups.append((c["bsr"], entry["bsr"]))
                 continue
-            if gp.schedule == JTJpSchedule.INLINE:
+            if g.con_block is not None:
+                # blocked contraction groups always apply J^T J p inline:
+                # jvp+vjp re-run the checkpointed block scan (bounded
+                # memory); LINEARIZE/PRECOMPUTE would store or
+                # materialize the full fiber
+                inline_groups.append((gi, gp))
+            elif gp.schedule == JTJpSchedule.INLINE:
                 inline_groups.append((gi, gp))
             elif gp.schedule == JTJpSchedule.LINEARIZE:
                 c = consts[gi]

@@ -55,11 +55,13 @@ def _bsr_iter_bytes(bsr, block_itemsize, f32=4) -> int:
             W, Nt = bsr.cols[ct].shape
             total += Ci * Cj * W * Nt * block_itemsize  # cross blocks
             total += Cj * W * Nt * f32          # gathered p columns
-        else:  # transpose: re-reads the partner's blocks + broadcasts p
+        else:  # transpose: consumes the PARTNER's blocks, which the
+            # partner pair already reads in the same fused loop — XLA
+            # reads them once (counting them twice put the 250k model
+            # above HBM peak); only the broadcast p rows are new traffic
             partner = bsr.pairs[pr[3]]
             ct = bsr.col_gathers[partner[3]][0]
             W, Nt = bsr.cols[ct].shape
-            total += Ci * Cj * W * Nt * block_itemsize
             total += Cj * Nt * f32              # p rows (broadcast over W)
     # per-row-slot accumulator writes
     for i in set(pr[0] for pr in bsr.pairs):
