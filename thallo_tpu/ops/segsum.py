@@ -122,7 +122,11 @@ def minor_gather_onehot(cat: jnp.ndarray, idx: jnp.ndarray, n_src: int) -> jnp.n
     TPU regardless of width (PERF.md), so a 250k-index read of a
     256-camera image costs ~3 ms as a gather but ~0.03 ms as a matmul
     (2*C*R*N FLOPs).  Exact: each one-hot column selects one element, so
-    the accumulation has a single nonzero term.  The AD transpose is the
+    the accumulation has a single nonzero term — BUT only at explicit
+    HIGHEST precision: XLA's DEFAULT matmul precision rounds the f32
+    value operand to bf16 on TPU, silently perturbing the gathered
+    VALUES (~0.4%; measured to stall LM convergence 250x on BA — see
+    PERF.md "the default-precision trap").  The AD transpose is the
     transposed matmul = the one-hot segment sum, also scatter-free."""
     onehot = (
         idx[None, :] == jax.lax.broadcasted_iota(

@@ -502,6 +502,59 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
     )
 
 
+def _full_repeat_table(plans, N_t: int, W: int) -> bool:
+    """True when every column d has the repeat ColPlan
+    (v0=0, H=N_t, out_row_len=1, src_base=s0+d, src_row_stride=W,
+    src_col_stride=0) — i.e. the table is exactly idx[s0 + n*W + d] == n
+    for all rows: the whole [N_t, W, F] gather is one contiguous
+    reshape of payload[s0 : s0 + N_t*W]."""
+    if W < 2 or any(p is None for p in plans):
+        return False
+    v0, H, L, s0, rs, cs = plans[0]
+    if not (v0 == 0 and H == N_t and L == 1 and rs == W and cs == 0):
+        return False
+    for d, p in enumerate(plans):
+        if p != (0, N_t, 1, s0 + d, W, 0):
+            return False
+    return True
+
+
+def _routing_dtype(values_dtype):
+    """Dtype for the VALUE side of the per-PCG-step one-hot MXU routings
+    (column gather of p, transpose-apply aggregation).  On TPU, XLA's
+    DEFAULT dot precision already rounds f32 dot operands to bf16 — the
+    SETUP aggregations run that way today (trace: the eblock payload
+    materializes as bf16 ahead of the one-hot segment-sum and runs 2x
+    faster than an f32-fed dot).  The while-body dots miss that demotion
+    because p is a loop carry XLA won't re-type, so we apply the same
+    contract explicitly: bf16 value side on accelerators, full f32 on
+    CPU (tests/oracles).  Measured v5e: each routing dot ~0.47 -> ~0.25
+    ms at 250k obs.  THALLO_ROUTING_DTYPE=f32 forces full precision
+    everywhere (also the right knob if a TPU solve ever shows
+    bf16-routing convergence artifacts)."""
+    mode = os.environ.get("THALLO_ROUTING_DTYPE", "auto")
+    if mode in ("f32", "float32"):
+        return values_dtype
+    if mode in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    if values_dtype == np.float32 and jax.default_backend() != "cpu":
+        return jnp.bfloat16
+    return values_dtype
+
+
+def _routed(values):
+    """Cast a one-hot-dot VALUE operand to the routing dtype, behind an
+    optimization barrier: without it XLA's algebraic simplifier folds
+    the convert back out (the dot has preferred_element_type=f32) and
+    the conv emitter feeds f32 — keeping the barrier pins the bf16
+    buffer so the MXU runs 2 MACs/cycle (measured 2x on the setup
+    aggregation whose producer XLA happened to demote on its own)."""
+    rd = _routing_dtype(values.dtype)
+    if rd == values.dtype:
+        return values
+    return jax.lax.optimization_barrier(values.astype(rd))
+
+
 def _onehot_mat(ids, n, dtype):
     """[len(ids), n] 0/1 matrix; XLA fuses the comparison into the MXU
     operand read, so the 'gather' cost disappears into matmul work
@@ -511,10 +564,20 @@ def _onehot_mat(ids, n, dtype):
 
 def _oh_aggregate(parts, ids, n):
     """Segment-sum by MXU: parts [F, R] -> [F, n] summing columns with
-    equal ids.  2*F*R*n FLOPs — cheap for small n (one-hot row mode)."""
+    equal ids.  2*F*R*n FLOPs — cheap for small n (one-hot row mode).
+
+    f32 parts contract at explicit HIGHEST precision: this aggregation
+    assembles J^T r / diag / J^T J blocks, and XLA's DEFAULT matmul
+    precision rounds f32 operands to bf16 on TPU — measured to stall LM
+    convergence 250x on BA (PERF.md "the default-precision trap").
+    bf16 parts (the per-PCG-step routing, already approximate by
+    explicit choice) keep the fast default path."""
     oh = _onehot_mat(ids, n, parts.dtype)
+    prec = (jax.lax.Precision.HIGHEST
+            if parts.dtype in (jnp.float32, jnp.float64) else None)
     return jax.lax.dot_general(
         parts, oh, (((1,), (0,)), ((), ())),
+        precision=prec,
         preferred_element_type=jnp.float32).astype(parts.dtype)
 
 
@@ -662,7 +725,17 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
             perm, mask = bsr.perms[t], bsr.masks[t]
             N_t, W = perm.shape
             plans = bsr.perm_plans[t] if t < len(bsr.perm_plans) else None
-            if plans is not None and any(p is not None for p in plans):
+            if plans is not None and _full_repeat_table(plans, N_t, W):
+                # the whole table is ONE uniform repeat box (sorted
+                # observation maps: idx[n*W + t] == n) — read all W
+                # columns in a single contiguous reshape of the payload.
+                # The per-column form below costs W strided full-payload
+                # passes (measured 4 x 0.73 ms at BA 250k, trace r3);
+                # this is one pass at HBM rate.
+                s0 = plans[0][3]
+                g = structured.window_rows(payload, s0, N_t, W, W, 1)
+                g = g * mask[..., None]  # [N_t, W, F]
+            elif plans is not None and any(p is not None for p in plans):
                 # structured fast path: windowed slices replace the row
                 # gather for affine columns (ops/structured.py); invalid
                 # lanes read in-range garbage that the mask zeroes.
@@ -819,9 +892,12 @@ def bsr_apply(bsr: GroupBsr, blocks, p, replicate=None):
             # threshold 512 source rows; THALLO_ONEHOT_COLS overrides
             # (0 disables) — read at trace time, i.e. plan creation.
             ids = bsr.cols[ct].reshape(-1)
-            oh = _onehot_mat(ids, S_src, cat.dtype).T  # [S_src, W*N_t]
+            catr = _routed(cat)
+            oh = _onehot_mat(ids, S_src, catr.dtype).T  # [S_src, W*N_t]
+            prec = (jax.lax.Precision.HIGHEST
+                    if catr.dtype in (jnp.float32, jnp.float64) else None)
             g = jax.lax.dot_general(
-                cat, oh, (((1,), (0,)), ((), ())),
+                catr, oh, (((1,), (0,)), ((), ())), precision=prec,
                 preferred_element_type=jnp.float32).astype(cat.dtype)
         else:
             g = jnp.take(cat, bsr.cols[ct].reshape(-1), axis=1)
@@ -867,7 +943,8 @@ def bsr_apply(bsr: GroupBsr, blocks, p, replicate=None):
             name_i = bsr.slot_images[i]
             N_i = int(np.prod(bsr.image_shapes[name_i][:-1]))
             ids = bsr.cols[ct].reshape(-1)
-            contrib = _oh_aggregate(z.reshape(Ci, W * N_t), ids, N_i)
+            zr = _routed(z.reshape(Ci, W * N_t))
+            contrib = _oh_aggregate(zr, ids, N_i).astype(z.dtype)
             _add(i, contrib)
             continue
         blk = blocks[p_idx]
