@@ -152,7 +152,7 @@ def bench_bundle_adjustment(n_cameras, n_points, obs_per_point=4, n_steps=16,
                      solver="levenberg_marquardt")
     plan.set_solver_parameter("nIterations", 10_000)
     plan.set_solver_parameter("lIterations", l_iters)
-    plan.set_solver_parameter("q_tolerance", 0.0)  # keep the inner loop full
+    plan.set_solver_parameter("q_tolerance", -1e30)  # zeta < 0 must not stop the inner loop
     plan.set_solver_parameter("function_tolerance", 0.0)
     c0 = plan.init(inputs)
     if skew:
@@ -385,6 +385,11 @@ def main():
     for name, kw in (
         ("bundle_adjustment_32k", dict(n_cameras=64, n_points=8192)),
         ("bundle_adjustment_250k", dict(n_cameras=256, n_points=62500)),
+        # 1024 cameras: the per-iteration obs<->camera one-hot routing
+        # scales as R*S_cam on the MXU (~4.5 ms/iter at 1M), so the
+        # Schur-reduced solvers (points eliminated per outer step) are
+        # the structurally right tool at this scale
+        ("bundle_adjustment_1m", dict(n_cameras=1024, n_points=250000)),
     ):
         try:
             tt, _ = bench_ba_time_to_target(

@@ -22,7 +22,7 @@ def measure_ba(name, make_inputs, n_cameras, n_points, l_lo=4, l_hi=104,
     plan = spec.plan({"C": n_cameras, "P": n_points, "O": O},
                      solver="levenberg_marquardt")
     plan.set_solver_parameter("nIterations", 10_000)
-    plan.set_solver_parameter("q_tolerance", 0.0)
+    plan.set_solver_parameter("q_tolerance", -1e30)  # zeta < 0 must not stop the probe
     plan.set_solver_parameter("function_tolerance", 0.0)
     t0 = time.perf_counter()
     plan.init(inputs)
