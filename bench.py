@@ -400,8 +400,11 @@ def main():
         try:
             # exact reduced solve (DENSE_SCHUR class): lIterations is
             # irrelevant, each outer step solves the camera system exactly
+            # (9216 camera DOF at 1M: raise the safety cap — one 9216^2
+            # factorization is ~13 ms of MXU time)
             tt, _ = bench_ba_time_to_target(
-                linear_solver="schur_dense", l_iters=1, **kw)
+                linear_solver="schur_dense", l_iters=1,
+                schur_dense_max=16384, **kw)
             extra[f"{name}_schur_dense_time_to_target_s"] = round(tt, 4)
         except Exception as e:  # noqa: BLE001
             extra[f"{name}_schur_dense_error"] = str(e)[:120]
