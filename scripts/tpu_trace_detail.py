@@ -18,6 +18,9 @@ def main(case="ba_uniform_250k", l_iters="4"):
     elif case == "ba_skew_1m":
         inputs, _ = ba.skewed_inputs(1024, 250000, 1_000_000)
         sizes = {"C": 1024, "P": 250000, "O": len(inputs["oToC"])}
+    elif case == "ba_skew_250k":
+        inputs, _ = ba.skewed_inputs(256, 62500, 250_000)
+        sizes = {"C": 256, "P": 62500, "O": len(inputs["oToC"])}
     elif case == "ba_uniform_1m":
         inputs, _ = ba.synthetic_inputs(1024, 250000, 4)
         sizes = {"C": 1024, "P": 250000, "O": len(inputs["oToC"])}

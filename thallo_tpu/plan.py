@@ -115,7 +115,8 @@ class Plan:
                   "timing_level", "verbosity", "guarded_invert_type",
                   "jacobi_scaling", "linear_solver", "schur_eliminate", "trace_dir",
                   "profile_compile", "debug_check_finite", "block_dtype",
-                  "steps_per_dispatch", "preconditioner", "schur_dense_max"}
+                  "steps_per_dispatch", "preconditioner", "schur_dense_max",
+                  "sort_residuals"}
         bad = set(options) - _known
         if bad:
             raise ValueError(f"unknown plan option(s): {sorted(bad)}")
@@ -237,6 +238,13 @@ class Plan:
         # host-side non-finite guard each step (the reference's defensive
         # debugging tier, SURVEY.md §5 race-detection/sanitizers)
         self.debug_check_finite = bool(options.get("debug_check_finite", False))
+        # init-time residual-domain reorder (reorder.py): "auto" sorts
+        # order-free graph domains by their hottest unstructured sparse
+        # map so the block-sparse setup reads contiguous runs; False
+        # disables (also THALLO_SORT_RESIDUALS=0)
+        self.sort_residuals = options.get("sort_residuals", "auto")
+        self._residual_perms = {}
+        self._raw_inputs0 = None
         self._sp_cache = None
         self.timer = Timer()
         self._inputs = None
@@ -408,10 +416,47 @@ class Plan:
             out[p.name] = jnp.asarray(inputs[p.name], dtype=self.dtype)
         return out
 
+    def _maybe_sort_residuals(self, inputs):
+        """Init-time residual-domain sort (reorder.py): relabel order-free
+        graph domains so the hottest unstructured sparse map is sorted —
+        the block-sparse row tables then read contiguous runs
+        (solver/blocksparse.py sorted-run tables) instead of paying the
+        per-index gather floor on every level gather.  Results are
+        identical (the residual multiset is preserved; tests/
+        test_reorder.py).  The raw user order is kept for update_inputs."""
+        import os
+
+        self._raw_inputs0 = dict(inputs)
+        self._residual_perms = {}
+        if not self.sort_residuals or \
+                os.environ.get("THALLO_SORT_RESIDUALS", "1") == "0":
+            return inputs
+        from . import reorder
+
+        gps = self.compiled.groups
+        jgs = [gp.jac_group() for gp in gps]
+        want = {id(j): self.compiled._wants_bsr(gp)
+                for j, gp in zip(jgs, gps)}
+        check = jgs + [gp.group for gp in gps if gp.inline_group is not None]
+        try:
+            perms = reorder.choose_sort_keys(
+                self.spec, check, inputs,
+                lambda g: want.get(id(g), False))
+            out = reorder.apply_perms(self.spec, inputs, perms)
+        except Exception:
+            if self.sort_residuals != "auto":
+                raise
+            return inputs  # auto mode: sorting is an optimization only
+        if perms and self.verbosity:
+            print(f"[thallo_tpu] residual sort: {sorted(perms)}")
+        self._residual_perms = perms
+        return out
+
     def init(self, inputs: Dict[str, np.ndarray]):
         """Bind user arrays and reset solver state (Thallo_ProblemInit,
         gauss_newton.t:1166-1198).  Unknown initial values are taken from
         `inputs` by name."""
+        inputs = self._maybe_sort_residuals(inputs)
         self._inputs = self._normalize_inputs(inputs)
         # U must NOT alias self._inputs: run_steps donates U, and on TPU a
         # donated step deletes the donated buffers — aliasing would brick
@@ -505,8 +550,14 @@ class Plan:
             raise ValueError(
                 f"update_inputs cannot rebind unknowns {bad}; use init() "
                 "or load_state() to reset unknown values")
-        merged = dict(self._all_inputs())
+        # merge over the RAW (pre-sort) user inputs: update values arrive
+        # in user order, and the residual sort (if any) re-applies to the
+        # merged dict — mixing sorted and unsorted arrays would corrupt
+        # the relabeling
+        merged = dict(self._raw_inputs0 if self._raw_inputs0 is not None
+                      else self._all_inputs())
         merged.update(inputs)
+        merged = self._maybe_sort_residuals(merged)
         normalized = self._normalize_inputs(merged)
         self._inputs = {
             k: (self._inputs[k] if k in unknown_names else v)

@@ -93,10 +93,18 @@ class GroupBsr:
     # (None for table-backed slots)
     row_sels: Tuple[Optional[jnp.ndarray], ...] = ()
     oh_idxs: Tuple[Optional[jnp.ndarray], ...] = ()
+    # per row table: [N_t] int32 payload-row START of each element's
+    # contiguous incidence run, or None.  Present when the index array is
+    # SORTED (natively or via the init-time residual reorder,
+    # reorder.py): the payload gather then reads N slices of W contiguous
+    # rows instead of N*W scattered rows — per-index cost drops from the
+    # incidence count to the element count (PERF.md "the per-index
+    # gather floor": indices cost ~8 cycles, gathered bytes are free)
+    row_starts: Tuple[Optional[jnp.ndarray], ...] = ()
 
     def tree_flatten(self):
         children = (self.perms, self.masks, self.cols, self.row_sels,
-                    self.oh_idxs)
+                    self.oh_idxs, self.row_starts)
         aux = (self.slot_row, self.pairs, self.col_gathers, self.slot_images,
                tuple(self.slot_channels), tuple(sorted(self.image_shapes.items())),
                self.row_dims, self.col_row, self.perm_plans, self.col_plans,
@@ -105,12 +113,13 @@ class GroupBsr:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        perms, masks, cols, row_sels, oh_idxs = children
+        perms, masks, cols, row_sels, oh_idxs, row_starts = children
         (slot_row, pairs, col_gathers, slot_images, slot_channels, shapes,
          row_dims, col_row, perm_plans, col_plans, row_base) = aux
         return cls(perms, masks, cols, slot_row, pairs, col_gathers,
                    slot_images, slot_channels, dict(shapes), row_dims, col_row,
-                   perm_plans, col_plans, row_base, row_sels, oh_idxs)
+                   perm_plans, col_plans, row_base, row_sels, oh_idxs,
+                   row_starts)
 
     # -- derived wiring (python-side, cheap) --------------------------------
     def levels_of(self, base: int) -> Tuple[int, ...]:
@@ -240,22 +249,53 @@ def _level_widths(counts: np.ndarray, R: int, max_waste: float,
     budget = max_waste * R + max_pad_extra
     if N > budget:
         return None  # more elements than the waste budget allows at W0=1
-    W0 = max(1, int(np.ceil(np.quantile(counts, 0.95))))
-    while W0 > 1 and N * W0 > budget:
-        W0 = max(1, W0 // 2)
-    levels = [(0, min(W0, Dmax))]
-    T = levels[0][1]
-    while T < Dmax:
-        over = counts > T
-        n_over = int(over.sum())
-        remaining = int(np.clip(counts - T, 0, None).sum())
-        if n_over * (Dmax - T) <= max_waste * remaining + 4096:
-            W = Dmax - T  # the tail is cheap to finish in one level
-        else:
-            W = min(max(1, 3 * T), Dmax - T)
-        levels.append((T, W))
-        T += W
-    return levels
+    csort = np.sort(counts)
+
+    def simulate(W0):
+        """Geometric levels from a candidate base width; returns
+        (levels, total padded entries).  Padded entries are the real
+        per-step cost: block reads AND the one-hot routings scale with
+        Sum N_t*W_t, not with the incidence count (trace r4: the
+        0.95-quantile default padded a 239k-obs skewed scene to 693k
+        entries = ~2.9x the per-iteration routing traffic)."""
+        levels = [(0, min(W0, Dmax))]
+        total = N * levels[0][1]
+        T = levels[0][1]
+        while T < Dmax:
+            n_over = int(N - np.searchsorted(csort, T, side="right"))
+            if n_over == 0:
+                break
+            remaining = int(np.clip(counts - T, 0, None).sum())
+            if n_over * (Dmax - T) <= max_waste * remaining + 4096:
+                W = Dmax - T  # the tail is cheap to finish in one level
+            else:
+                W = min(max(1, 3 * T), Dmax - T)
+            levels.append((T, W))
+            total += n_over * W
+            T += W
+        return levels, total
+
+    # candidate base widths: powers of two + degree quantiles, padded-
+    # entry total decides (bounded by the waste budget)
+    qs = [max(1, int(np.ceil(np.quantile(counts, q))))
+          for q in (0.5, 0.75, 0.9, 0.95)]
+    cands = sorted({*qs, *(1 << k for k in range(0, 11)
+                           if (1 << k) <= max(qs[-1] * 2, 2))})
+    best = None
+    for W0 in cands:
+        if N * W0 > budget:
+            continue
+        levels, total = simulate(W0)
+        if total > budget:
+            continue
+        # each level is extra dispatch: its own gathers, routing dots and
+        # overflow .at[sel].add — charge ~16k entries of equivalent cost
+        score = total + 16384 * len(levels)
+        if best is None or score < best[1]:
+            best = (levels, score)
+    if best is None:
+        return None
+    return best[0]
 
 
 def _rank_keyed_tables(idx: np.ndarray, N: int, R: int, max_waste: float,
@@ -272,6 +312,10 @@ def _rank_keyed_tables(idx: np.ndarray, N: int, R: int, max_waste: float,
     starts[1:] = np.cumsum(counts)
     sorted_rows = idx[order]
     pos = np.arange(R, dtype=np.int64) - starts[sorted_rows]
+    # sorted index array (natively, or via reorder.py's init-time
+    # residual sort): each element's incidences are one CONTIGUOUS run of
+    # payload rows, so every level gather lowers to N_t dynamic slices
+    is_sorted = bool(np.all(np.diff(idx) >= 0)) if idx.size else False
     out = []
     for li, (T, W) in enumerate(levels):
         if li == 0:
@@ -294,7 +338,15 @@ def _rank_keyed_tables(idx: np.ndarray, N: int, R: int, max_waste: float,
         r_t = rows if rowmap is None else rowmap[rows]
         perm[r_t, lanes] = order[in_level].astype(np.int32)
         mask[r_t, lanes] = 1.0
-        out.append({"perm": perm, "mask": mask, "sel": sel, "W": W})
+        run_start = None
+        if is_sorted:
+            elems = np.arange(N, dtype=np.int64) if sel is None else sel
+            # clamp to R: a start past the end reads only padding rows
+            # (mask is all-zero there); payload is padded by W rows so
+            # dynamic_slice never clamps/misaligns
+            run_start = np.minimum(starts[elems] + T, R).astype(np.int32)
+        out.append({"perm": perm, "mask": mask, "sel": sel, "W": W,
+                    "start": run_start})
     return out
 
 
@@ -404,7 +456,8 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
             row_tables.append({
                 "perm": st["perm"], "mask": st["mask"], "sel": None,
                 "idx": idx, "N": N, "dims": dims, "segs": st["segs"],
-                "columns": st["columns"], "plans": st["plans"]})
+                "columns": st["columns"], "plans": st["plans"],
+                "start": None})
             row_base_of.append(base)
         else:
             lv = _rank_keyed_tables(idx, N, R, max_waste, max_pad_extra)
@@ -414,7 +467,8 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
                 row_tables.append({
                     "perm": t["perm"], "mask": t["mask"], "sel": t["sel"],
                     "idx": idx, "N": N, "dims": dims, "segs": None,
-                    "columns": None, "plans": (None,) * t["perm"].shape[1]})
+                    "columns": None, "plans": (None,) * t["perm"].shape[1],
+                    "start": t["start"]})
                 row_base_of.append(base)
         key_to_row[key] = base
         row_key_of_slot.append(base)
@@ -499,6 +553,9 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
                        for rt in row_tables),
         oh_idxs=tuple(jnp.asarray(idxs[i], jnp.int32) if onehot[i] else None
                       for i in range(nslots)),
+        row_starts=tuple(None if rt["start"] is None
+                         else jnp.asarray(rt["start"])
+                         for rt in row_tables),
     )
 
 
@@ -560,6 +617,42 @@ def _onehot_mat(ids, n, dtype):
     operand read, so the 'gather' cost disappears into matmul work
     (measured on v5e: artifacts/tpu_onehot.jsonl)."""
     return (ids[:, None] == jnp.arange(n, dtype=ids.dtype)[None, :]).astype(dtype)
+
+
+def _onehot3(ids2d, n, dtype):
+    """[n, W, N] 0/1 tensor from a [W, N] id table.  Rank-3 so the
+    routing dot_generals produce/consume [C, W, N] DIRECTLY: the flat
+    [C, W*N] form forces XLA to physically relayout between the dot and
+    the block products ([9, 500k] <-> [9, 8, 62.5k] measured 0.3+0.16
+    ms per PCG iteration at BA 250k-skew, trace r4) because the (8,128)
+    tile split differs; with N kept minor on both sides the reshape
+    never exists."""
+    return (ids2d[None, :, :] == jnp.arange(n, dtype=ids2d.dtype)[:, None, None]
+            ).astype(dtype)
+
+
+def _routing_dot_expand(values, ids2d, n):
+    """values [C, n] routed to [C, W, N] table positions (p gather as a
+    one-hot MXU matmul, rank-3 output)."""
+    vr = _routed(values)
+    oh = _onehot3(ids2d, n, vr.dtype)
+    prec = (jax.lax.Precision.HIGHEST
+            if vr.dtype in (jnp.float32, jnp.float64) else None)
+    return jax.lax.dot_general(
+        vr, oh, (((1,), (0,)), ((), ())), precision=prec,
+        preferred_element_type=jnp.float32).astype(values.dtype)
+
+
+def _routing_dot_aggregate(z, ids2d, n):
+    """z [C, W, N] summed into [C, n] by table ids (transpose-apply
+    aggregation as a one-hot MXU matmul, rank-3 operand)."""
+    zr = _routed(z)
+    oh = _onehot3(ids2d, n, zr.dtype)
+    prec = (jax.lax.Precision.HIGHEST
+            if zr.dtype in (jnp.float32, jnp.float64) else None)
+    return jax.lax.dot_general(
+        zr, oh, (((1, 2), (1, 2)), ((), ())), precision=prec,
+        preferred_element_type=jnp.float32).astype(z.dtype)
 
 
 def _oh_aggregate(parts, ids, n):
@@ -755,6 +848,17 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
                 g = jnp.stack(
                     [gd * mask[:, d][:, None] for d, gd in enumerate(gparts)],
                     axis=1)  # [N_t, W, F]
+            elif (bsr.row_starts[t] is not None
+                  if t < len(bsr.row_starts) else False):
+                # sorted-run table (reorder.py / natively sorted maps):
+                # each element's incidences are W contiguous payload rows
+                # — N_t slice reads instead of N_t*W per-index gathers
+                starts = bsr.row_starts[t]
+                pay = jnp.concatenate(
+                    [payload, jnp.zeros((W, F), payload.dtype)], axis=0)
+                g = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(pay, (s, 0), (W, F))
+                )(starts) * mask[..., None]  # [N_t, W, F]
             else:
                 g = jnp.take(payload, perm.reshape(-1), axis=0).reshape(
                     N_t, W, F
@@ -891,19 +995,15 @@ def bsr_apply(bsr: GroupBsr, blocks, p, replicate=None):
             # ~free at these sizes (2*S*C*DN FLOPs ~ 1 GFLOP).  Default
             # threshold 512 source rows; THALLO_ONEHOT_COLS overrides
             # (0 disables) — read at trace time, i.e. plan creation.
-            ids = bsr.cols[ct].reshape(-1)
-            catr = _routed(cat)
-            oh = _onehot_mat(ids, S_src, catr.dtype).T  # [S_src, W*N_t]
-            prec = (jax.lax.Precision.HIGHEST
-                    if catr.dtype in (jnp.float32, jnp.float64) else None)
-            g = jax.lax.dot_general(
-                catr, oh, (((1,), (0,)), ((), ())), precision=prec,
-                preferred_element_type=jnp.float32).astype(cat.dtype)
+            # Rank-3 form: output lands [C, W, N_t] directly (no
+            # post-dot relayout, see _onehot3).
+            g = _routing_dot_expand(cat, bsr.cols[ct], S_src)
         else:
-            g = jnp.take(cat, bsr.cols[ct].reshape(-1), axis=1)
+            g = jnp.take(cat, bsr.cols[ct].reshape(-1), axis=1).reshape(
+                cat.shape[0], W, N_t)
         off = 0
         for gidx, img, C in entries:
-            pg[gidx] = g[off:off + C].reshape(C, W, N_t)
+            pg[gidx] = g[off:off + C]
             off += C
     out: Dict[str, jnp.ndarray] = {}
     acc: Dict[int, jnp.ndarray] = {}  # row slot -> [Ci, N] (full order)
@@ -942,9 +1042,9 @@ def bsr_apply(bsr: GroupBsr, blocks, p, replicate=None):
             z = jnp.sum(B * prow[:, None, None, :], axis=0)  # [Ci, W, N_t]
             name_i = bsr.slot_images[i]
             N_i = int(np.prod(bsr.image_shapes[name_i][:-1]))
-            ids = bsr.cols[ct].reshape(-1)
-            zr = _routed(z.reshape(Ci, W * N_t))
-            contrib = _oh_aggregate(zr, ids, N_i).astype(z.dtype)
+            # rank-3 one-hot aggregation: consumes [Ci, W, N_t] in place
+            # (the flat form forced a measured 0.16 ms/iter relayout)
+            contrib = _routing_dot_aggregate(z, bsr.cols[ct], N_i)
             _add(i, contrib)
             continue
         blk = blocks[p_idx]
