@@ -856,8 +856,12 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
                 starts = bsr.row_starts[t]
                 pay = jnp.concatenate(
                     [payload, jnp.zeros((W, F), payload.dtype)], axis=0)
+                # start-index 0 must match s's dtype exactly: a Python 0
+                # promotes to int64 under jax_enable_x64 and dynamic_slice
+                # rejects mixed start dtypes
                 g = jax.vmap(
-                    lambda s: jax.lax.dynamic_slice(pay, (s, 0), (W, F))
+                    lambda s: jax.lax.dynamic_slice(
+                        pay, (s, jnp.zeros((), s.dtype)), (W, F))
                 )(starts) * mask[..., None]  # [N_t, W, F]
             else:
                 g = jnp.take(payload, perm.reshape(-1), axis=0).reshape(
