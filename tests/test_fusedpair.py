@@ -1,0 +1,98 @@
+"""Fused cross-pair pallas kernel (ops/fusedpair.py): unit equivalence vs
+a dense reference, padding/out-of-range handling, and the end-to-end
+solver cross-check (fused vs XLA routing path) in interpreter mode."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from thallo_tpu.ops.fusedpair import fused_pair_apply, fused_pair_eligible
+
+
+def _reference(ids, blocks_wm, pcol, prow, Ci, Cj, S):
+    """Dense einsum oracle with the kernel's numerics contract (bf16
+    value rounding on the routing operands, f32 accumulate)."""
+    W, N = ids.shape
+    b = np.asarray(blocks_wm, np.float32).reshape(W, Ci, Cj, N)
+    oh = (np.asarray(ids)[None, :, :] == np.arange(S)[:, None, None])
+    pc_b = np.asarray(np.asarray(pcol).astype(jnp.bfloat16), np.float32)
+    pc = np.einsum("js,swn->jwn", pc_b, oh.astype(np.float32))
+    rows = np.einsum("wijn,jwn->in", b, pc)
+    z = np.einsum("wijn,in->jwn", b, np.asarray(prow, np.float32))
+    z_b = np.asarray(np.asarray(z).astype(jnp.bfloat16), np.float32)
+    cols = np.einsum("jwn,swn->js", z_b, oh.astype(np.float32))
+    return rows, cols
+
+
+@pytest.mark.parametrize("N", [384, 1000])  # 1000: non-128-multiple tail
+@pytest.mark.parametrize("W", [1, 3])
+def test_fused_pair_matches_dense(N, W):
+    rng = np.random.default_rng(0)
+    Ci, Cj, S = 3, 5, 64
+    ids = rng.integers(0, S, (W, N)).astype(np.int32)
+    ids[:, -7:] = S + 3  # out-of-range tail must drop silently
+    blocks = rng.normal(size=(W * Ci * Cj, N)).astype(np.float32)
+    pcol = rng.normal(size=(Cj, S)).astype(np.float32)
+    prow = rng.normal(size=(Ci, N)).astype(np.float32)
+    rows, cols = fused_pair_apply(
+        jnp.asarray(ids), jnp.asarray(blocks), jnp.asarray(pcol),
+        jnp.asarray(prow), Ci=Ci, Cj=Cj, S=S, interpret=True)
+    r_ref, c_ref = _reference(ids, blocks, pcol, prow, Ci, Cj, S)
+    np.testing.assert_allclose(np.asarray(rows), r_ref, rtol=2e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(cols), c_ref, rtol=2e-2, atol=1e-2)
+
+
+def test_eligibility_gates():
+    assert not fused_pair_eligible(4096 + 1, 4, 1000, jnp.float32)
+    assert not fused_pair_eligible(256, 4, 1000, jnp.float64)
+    os.environ["THALLO_FUSED_PAIR"] = "0"
+    try:
+        assert not fused_pair_eligible(256, 4, 1000, jnp.float32)
+    finally:
+        os.environ["THALLO_FUSED_PAIR"] = "interpret"
+    assert fused_pair_eligible(256, 4, 1000, jnp.bfloat16)
+
+
+def test_solver_cross_check_fused_vs_xla():
+    """BA-style skewed solve: fused (interpret) vs XLA routing path must
+    agree on the final cost and unknowns."""
+    from thallo_tpu.models import bundle_adjustment as ba
+
+    inputs, _ = ba.skewed_inputs(96, 4000, 24_000)
+    spec = ba.make_spec()
+    dims = {"C": 96, "P": 4000, "O": len(inputs["oToC"])}
+
+    from thallo_tpu.ops import fusedpair
+
+    finals = {}
+    unks = {}
+    c0s = {}
+    for mode in ("0", "interpret"):
+        os.environ["THALLO_FUSED_PAIR"] = mode
+        fusedpair.TRACE_COUNT[0] = 0
+        try:
+            plan = spec.plan(dims, solver="levenberg_marquardt")
+            plan.set_solver_parameter("nIterations", 6)
+            c0s[mode] = plan.init(inputs)
+            finals[mode] = plan.solve()
+            unks[mode] = np.asarray(plan.get_unknown("cameras"))
+        finally:
+            os.environ.pop("THALLO_FUSED_PAIR", None)
+        if mode == "interpret":
+            assert fusedpair.TRACE_COUNT[0] > 0, \
+                "fused pallas path never traced — test exercises nothing"
+        else:
+            assert fusedpair.TRACE_COUNT[0] == 0
+    # both paths round routing operands to bf16, but in different
+    # groupings — near the optimum (5 orders below the initial cost) the
+    # absolute finals drift with rounding, so compare relative to the
+    # INITIAL cost.  Kernel-level equivalence is pinned by
+    # test_fused_pair_matches_dense.
+    c0 = c0s["0"]
+    assert finals["0"] < 1e-3 * c0 and finals["interpret"] < 1e-3 * c0
+    assert abs(finals["interpret"] - finals["0"]) < 1e-4 * c0
+    np.testing.assert_allclose(unks["interpret"], unks["0"],
+                               rtol=0.2, atol=0.1)

@@ -180,9 +180,12 @@ def test_skewed_ba_solve_matches_inline():
     np.testing.assert_allclose(c_bsr, plan2.cost(), rtol=1e-3, atol=1e-5)
 
 
-def test_skewed_graph_energy_exact():
+def test_skewed_graph_energy_exact(monkeypatch):
     """Generic skewed graph (one unknown image, power-law vertex degrees,
-    vertices >> one-hot threshold so both slots take the level path)."""
+    vertices >> one-hot threshold so both slots take the level path).
+    The default THALLO_ONEHOT_ROWS is 1024 now; pin it below nN so this
+    test keeps exercising the level tables it was written for."""
+    monkeypatch.setenv("THALLO_ONEHOT_ROWS", "512")
     rng = np.random.RandomState(11)
     nN = 700
     # power-law out-degrees

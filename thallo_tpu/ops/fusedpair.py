@@ -1,0 +1,182 @@
+"""Fused cross-pair block apply: one Pallas kernel per row-table level
+computing BOTH directions of a (row-slot, small-image) J^T J pair.
+
+The per-PCG-step hot path for BA-style energies is a pair of one-hot
+routing matmuls per level (gather p_cam by column ids; aggregate the
+transpose product back into cameras).  Expressed as XLA dot_generals
+inside the PCG while-loop, XLA hoists the loop-invariant one-hot
+[S, W, N] and MATERIALIZES it in HBM — 2 bytes * S per table entry,
+~2 GB at BA 1M obs — and every iteration re-reads it twice.  That was
+the measured iteration floor (artifacts/tpu_fused_pair.jsonl: XLA
+2.80 ms vs fused 1.67 ms at 1M; the reference's cuSPARSE CSR matvec
+keeps the same data on-die via atomics, gauss_newton.t:554-625).
+
+This kernel regenerates the one-hot per tile in VMEM from
+`broadcasted_iota == ids` — it never exists in HBM.  Per tile it reads
+the blocks ONCE and computes:
+
+  rows[ci, n]  = sum_{cj,w} B[w,ci,cj,n] * pcol[cj, ids[w,n]]   (expand)
+  cols[cj, s] += sum_{ci,w} B[w,ci,cj,n] * prow[ci, n] routed by ids
+                                                              (aggregate)
+
+Blocks are stored w-major ([W*Ci*Cj, N]) so each w's [Ci*Cj, N] plane is
+a contiguous 2-D slice: Mosaic has no rank-3 reductions, so the kernel
+works in 2-D planes with concatenate/slice group-sums over the tiny
+channel axes.
+
+Numerics match the XLA routing path: the value operands round to bf16
+(the explicit routing-dtype contract, blocksparse._routing_dtype), the
+one-hot is exact in bf16, accumulation is f32
+(preferred_element_type).  Out-of-range ids drop silently — table
+padding relies on this in both formulations.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _kernel(ids_ref, b_ref, pcol_ref, prow_ref, rows_ref, cols_ref,
+            *, Ci, Cj, W, S, N, n_blk):
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        cols_ref[:] = jnp.zeros_like(cols_ref)
+
+    # mask the grid's padded tail: garbage block/id lanes past N must not
+    # contribute to the accumulated cols output (rows writes are dropped
+    # by the out-of-bounds write semantics, but cols is accumulated)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_blk), 1)
+    valid = (pl.program_id(0) * n_blk + lane) < N  # [1, n_blk]
+
+    pcol = pcol_ref[:].astype(jnp.bfloat16)  # [Cj, S]
+    prow = prow_ref[:]  # [Ci, n_blk]
+    prow_t = jnp.concatenate(
+        [prow[ci:ci + 1] for ci in range(Ci) for _ in range(Cj)], axis=0)
+    acc_rows = jnp.zeros((Ci, n_blk), jnp.float32)
+    acc_cols = jnp.zeros((Cj, S), jnp.float32)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (S, n_blk), 0)
+    for w in range(W):
+        ids_w = jnp.where(valid, ids_ref[w:w + 1, :], S)  # invalid -> drop
+        oh = (iota_s == ids_w).astype(jnp.bfloat16)  # [S, n_blk]
+        # expand: gather pcol columns by ids (single nonzero -> exact)
+        pc = jax.lax.dot_general(
+            pcol, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [Cj, n_blk]
+        bw = b_ref[w * Ci * Cj:(w + 1) * Ci * Cj, :].astype(jnp.float32)
+        pc_t = jnp.concatenate([pc] * Ci, axis=0)  # [Ci*Cj, n_blk]
+        prod = bw * pc_t
+        acc_rows = acc_rows + jnp.concatenate(
+            [jnp.sum(prod[ci * Cj:(ci + 1) * Cj], axis=0, keepdims=True)
+             for ci in range(Ci)], axis=0)
+        # aggregate: z[cj] = sum_ci bw[ci*Cj+cj] * prow[ci], routed by ids
+        prod2 = bw * prow_t
+        z = prod2[0:Cj]
+        for ci in range(1, Ci):
+            z = z + prod2[ci * Cj:(ci + 1) * Cj]
+        # padded-tail block reads are unspecified (NaN in interpret
+        # mode); NaN * 0-one-hot would poison the cols contraction
+        z = jnp.where(valid, z, 0.0)
+        acc_cols = acc_cols + jax.lax.dot_general(
+            z.astype(jnp.bfloat16), oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [Cj, S]
+    rows_ref[:] = acc_rows
+    cols_ref[:] += acc_cols
+
+
+# flag: 1 (default) = pallas on TPU, XLA elsewhere; 0 = never;
+# "interpret" = pallas interpreter everywhere (CPU tests)
+def _mode() -> str:
+    return os.environ.get("THALLO_FUSED_PAIR", "1")
+
+
+def fused_pair_eligible(S: int, W: int, N: int, dtype) -> bool:
+    """Static eligibility (called at trace time)."""
+    mode = _mode()
+    if mode == "0":
+        return False
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                jnp.dtype(jnp.bfloat16)):
+        return False  # f64 keeps the exact XLA path
+    # the kernel unrolls w (W one-hot builds + 2W dots per tile): cap W,
+    # and leave small levels (overflow tails) on the XLA routing path —
+    # they are cheap there and don't justify a kernel instantiation
+    if S > 2048 or W > 32 or N < 512 or S < 1:
+        return False
+    if mode != "interpret" and jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return True
+
+
+def _pick_n_blk(W: int, Ci: int, Cj: int, S: int, N: int,
+                blk_bytes: int) -> int:
+    # VMEM budget per lane: double-buffered blocks tile (actual dtype!) +
+    # one-hot [S, n_blk] bf16 + f32 intermediates (bw/prod/prod2/pc_t/
+    # prow_t ~ 8 F-planes) + ids.  Target ~5 MB of the 16 MB scoped
+    # limit — a 24-wide f32 level at 1280 lanes measured 16.87M and
+    # failed to compile (vmem stack OOM), hence the explicit accounting.
+    budget = 5 * 1024 * 1024
+    F = Ci * Cj
+    per_lane = 2 * W * F * blk_bytes + S * 2 + 8 * F * 4 + W * 8 + 64
+    n = budget // max(per_lane, 1)
+    n = max(256, min(2048, (n // 128) * 128))
+    n_needed = _cdiv(N, 128) * 128
+    return min(n, max(256, n_needed))
+
+
+# trace-time call counter (tests assert the fused path actually ran;
+# incremented when jit traces the wrapper, i.e. once per new shape)
+TRACE_COUNT = [0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("Ci", "Cj", "S", "interpret"))
+def fused_pair_apply(ids2d, blocks_wm, pcol, prow, *, Ci, Cj, S,
+                     interpret=False):
+    """Both directions of a cross pair through one kernel.
+
+    ids2d:     [W, N] int32 column ids (out-of-range = padded/dropped)
+    blocks_wm: [W*Ci*Cj, N] w-major edge blocks (bf16 or f32)
+    pcol:      [Cj, S] column-side operand
+    prow:      [Ci, N] row-side operand
+    Returns (rows [Ci, N] f32, cols [Cj, S] f32).
+    """
+    TRACE_COUNT[0] += 1
+    W, N = ids2d.shape
+    n_blk = _pick_n_blk(W, Ci, Cj, S, N, jnp.dtype(blocks_wm.dtype).itemsize)
+    kern = functools.partial(_kernel, Ci=Ci, Cj=Cj, W=W, S=S, N=N,
+                             n_blk=n_blk)
+    rows, cols = pl.pallas_call(
+        kern,
+        grid=(_cdiv(N, n_blk),),
+        in_specs=[
+            pl.BlockSpec((W, n_blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W * Ci * Cj, n_blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cj, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ci, n_blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Ci, n_blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cj, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Ci, N), jnp.float32),
+            jax.ShapeDtypeStruct((Cj, S), jnp.float32),
+        ],
+        interpret=interpret,
+    )(ids2d, blocks_wm, pcol.astype(jnp.float32), prow.astype(jnp.float32))
+    return rows, cols

@@ -82,6 +82,48 @@ def build_plan(
 ONEHOT_MAX_SEGMENTS = 1024
 
 
+def bf16_split3(x):
+    """3-term bf16 decomposition of an f32 array (float-float style):
+    x == h1 + h2 + h3 up to ~2^-24 relative — jointly full f32 mantissa.
+
+    Purpose: an EXACT one-hot contraction at bf16 MXU rate.  The one-hot
+    operand is exactly representable in bf16 (0/1), so only the value
+    side needs splitting: three bf16×bf16 passes reproduce the f32
+    result, where Precision.HIGHEST spends six passes splitting BOTH
+    operands (and Precision.HIGH's three passes are NOT exact for
+    one-hot dots — measured 7e-4, artifacts/tpu_onehot_precision.jsonl).
+    Measured max rel err vs a float64 oracle under heavy cancellation:
+    split-3 7.2e-4 vs HIGHEST 2.4e-3 (split-3 is a touch MORE accurate;
+    gathers — single nonzero per output — come out bit-exact).
+
+    ONLY for non-differentiated sites: JAX's AD through the split's
+    convert/subtract chain rounds cotangents to bf16 without the
+    cancellation structure, producing garbage gradients (measured rel
+    err ~1.8).  Differentiated one-hot dots must keep HIGHEST."""
+    h1 = x.astype(jnp.bfloat16)
+    r1 = x - h1.astype(x.dtype)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(x.dtype)).astype(jnp.bfloat16)
+    return h1, h2, h3
+
+
+def dot_oh_exact(values, onehot_bf16, dimension_numbers):
+    """Exact f32 dot against a 0/1 bf16 operand in 3 bf16 MXU passes
+    (see bf16_split3; non-differentiated sites only).  Falls back to a
+    single HIGHEST dot on CPU (f32 dots are exact there) and for f64."""
+    if values.dtype != jnp.float32 or jax.default_backend() == "cpu":
+        return jax.lax.dot_general(
+            values, onehot_bf16.astype(values.dtype), dimension_numbers,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=values.dtype)
+    out = None
+    for h in bf16_split3(values):
+        d = jax.lax.dot_general(h, onehot_bf16, dimension_numbers,
+                                preferred_element_type=jnp.float32)
+        out = d if out is None else out + d
+    return out
+
+
 def onehot_segment_sum(data: jnp.ndarray, ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
     """Exact scatter-free segment sum for SMALL segment counts: one dense
     one-hot matmul on the MXU.  For num_segments <= ~1k the one-hot

@@ -53,6 +53,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import structured
+from ..ops.segsum import dot_oh_exact
 
 
 @jax.tree_util.register_pytree_node_class
@@ -355,7 +356,10 @@ def _rank_keyed_tables(idx: np.ndarray, N: int, R: int, max_waste: float,
 # the per-step large-source column gather via transpose-apply).
 # THALLO_ONEHOT_ROWS=0 disables; read at build time (plan init).
 def _onehot_rows_max() -> int:
-    return int(os.environ.get("THALLO_ONEHOT_ROWS", "512"))
+    # 1024 covers the 1M-obs BAL camera side; the setup aggregation runs
+    # split-3 bf16 (dot_oh_exact) so the F*R*N matmul costs half of what
+    # the old HIGHEST path did at the same N
+    return int(os.environ.get("THALLO_ONEHOT_ROWS", "1024"))
 
 
 def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
@@ -414,12 +418,13 @@ def build_group_bsr(group, inputs, dtype, max_waste: float = 4.0,
     # transpose-apply eligibility PER PAIR, independent of setup mode:
     # pair (i, j) runs as the transpose of (j, i)'s blocks + a one-hot
     # MXU aggregation whenever slot i's element count is MXU-cheap and j
-    # builds a row table.  This matters beyond the one-hot slots: at BA
-    # 1M obs, 1024 cameras exceed the one-hot SETUP threshold (the OH
-    # setup matmul grows as F*R*N) but the per-step aggregation matmul
-    # (C*R*N) stays far cheaper than the R-index column gather it
-    # replaces (measured 14.3 ms/iter at 1M, artifacts/tpu_skew.jsonl —
-    # the per-index gather floor).  Break-even N ~ 35k/C on v5e.
+    # builds a row table.  This matters beyond the one-hot slots: a slot
+    # can exceed the one-hot SETUP threshold (the OH setup matmul grows
+    # as F*R*N) while the per-step aggregation matmul (C*R*N) stays far
+    # cheaper than the R-index column gather it replaces (measured
+    # 14.3 ms/iter at BA 1M with table-backed cameras,
+    # artifacts/tpu_skew.jsonl — the per-index gather floor).
+    # Break-even N ~ 35k/C on v5e.
     tr_max = int(os.environ.get("THALLO_TRANSPOSE_ROWS", "8192"))
 
     def _transpose_ok(i, j):
@@ -659,19 +664,58 @@ def _oh_aggregate(parts, ids, n):
     """Segment-sum by MXU: parts [F, R] -> [F, n] summing columns with
     equal ids.  2*F*R*n FLOPs — cheap for small n (one-hot row mode).
 
-    f32 parts contract at explicit HIGHEST precision: this aggregation
-    assembles J^T r / diag / J^T J blocks, and XLA's DEFAULT matmul
-    precision rounds f32 operands to bf16 on TPU — measured to stall LM
+    f32 parts must NOT contract at XLA's DEFAULT matmul precision: this
+    aggregation assembles J^T r / diag / J^T J blocks, and DEFAULT
+    rounds f32 operands to bf16 on TPU — measured to stall LM
     convergence 250x on BA (PERF.md "the default-precision trap").
+    They go through dot_oh_exact: a 3-term bf16 split of the value side
+    against a bf16 one-hot — full f32 accuracy in HALF the MXU passes
+    of Precision.HIGHEST (safe here because bsr_setup consumes
+    already-computed jacobians; nothing differentiates through it).
     bf16 parts (the per-PCG-step routing, already approximate by
     explicit choice) keep the fast default path."""
+    if parts.dtype in (jnp.float32, jnp.float64):
+        oh_dt = jnp.bfloat16 if parts.dtype == jnp.float32 else parts.dtype
+        return dot_oh_exact(
+            parts, _onehot_mat(ids, n, oh_dt), (((1,), (0,)), ((), ()))
+        ).astype(parts.dtype)
     oh = _onehot_mat(ids, n, parts.dtype)
-    prec = (jax.lax.Precision.HIGHEST
-            if parts.dtype in (jnp.float32, jnp.float64) else None)
     return jax.lax.dot_general(
         parts, oh, (((1,), (0,)), ((), ())),
-        precision=prec,
         preferred_element_type=jnp.float32).astype(parts.dtype)
+
+
+def fused_pair_cols(bsr: GroupBsr, block_dtype) -> Dict[int, int]:
+    """Static map col-pair idx -> transpose-pair idx for pairs that run
+    through the fused pallas kernel (ops/fusedpair.py).  Shared by
+    bsr_setup (storage order: fused pairs store w-major) and bsr_apply /
+    the Schur assembly (layout when reading back).  All inputs are
+    trace-time static, so setup and apply always agree."""
+    from ..ops.fusedpair import fused_pair_eligible
+
+    out: Dict[int, int] = {}
+    for p_idx, pr in enumerate(bsr.pairs):
+        if pr[2] != "transpose":
+            continue
+        partner = bsr.pairs[pr[3]]
+        if partner[2] != "col":
+            continue
+        ct = bsr.col_gathers[partner[3]][0]
+        W, N_t = bsr.cols[ct].shape
+        img_col = bsr.slot_images[partner[1]]
+        S_col = int(np.prod(bsr.image_shapes[img_col][:-1]))
+        if fused_pair_eligible(S_col, W, N_t, block_dtype):
+            out[pr[3]] = p_idx
+    return out
+
+
+def cross_block_4d(bsr: GroupBsr, fused: Dict[int, int], p_idx: int,
+                   blk, Ca: int, Cb: int, W: int, N_t: int):
+    """[Ca, Cb, W, N_t] view of a stored cross block regardless of its
+    storage order (fused pairs store w-major)."""
+    if p_idx in fused:
+        return jnp.transpose(blk.reshape(W, Ca, Cb, N_t), (1, 2, 0, 3))
+    return blk.reshape(Ca, Cb, W, N_t)
 
 
 def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
@@ -728,6 +772,8 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
     jtr_out: Dict[str, jnp.ndarray] = {}
     d2_out: Dict[str, jnp.ndarray] = {}
     blocks: Dict[int, jnp.ndarray] = {}
+    fused = fused_pair_cols(
+        bsr, block_dtype if block_dtype is not None else dtype)
 
     # ---- one-hot row slots: MXU segment-sum aggregation -------------------
     # batch all parts sharing one index array into a single matmul
@@ -848,22 +894,16 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
                 g = jnp.stack(
                     [gd * mask[:, d][:, None] for d, gd in enumerate(gparts)],
                     axis=1)  # [N_t, W, F]
-            elif (bsr.row_starts[t] is not None
-                  if t < len(bsr.row_starts) else False):
-                # sorted-run table (reorder.py / natively sorted maps):
-                # each element's incidences are W contiguous payload rows
-                # — N_t slice reads instead of N_t*W per-index gathers
-                starts = bsr.row_starts[t]
-                pay = jnp.concatenate(
-                    [payload, jnp.zeros((W, F), payload.dtype)], axis=0)
-                # start-index 0 must match s's dtype exactly: a Python 0
-                # promotes to int64 under jax_enable_x64 and dynamic_slice
-                # rejects mixed start dtypes
-                g = jax.vmap(
-                    lambda s: jax.lax.dynamic_slice(
-                        pay, (s, jnp.zeros((), s.dtype)), (W, F))
-                )(starts) * mask[..., None]  # [N_t, W, F]
             else:
+                # NOTE a sorted-run formulation (vmap(dynamic_slice) /
+                # lax.gather with slice_sizes=(W, F) over run starts) was
+                # measured 20-26x SLOWER than this per-index take on v5e
+                # (143/190 ms vs 7.3 ms at the skew-250k shapes): XLA
+                # lowers batched multi-row slices as a sequential while
+                # loop + dynamic-update-slice, not as slice DMAs.  The
+                # per-index gather (~8 cyc/row, wide rows) is the fastest
+                # known XLA form for unstructured row tables; sortedness
+                # still pays off through near-sequential HBM access.
                 g = jnp.take(payload, perm.reshape(-1), axis=0).reshape(
                     N_t, W, F
                 ) * mask[..., None]  # [N_t, W, F]
@@ -881,9 +921,22 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
             for kind, key, width in specs:
                 if kind == "pair" and bsr.pairs[key][2] == "col" \
                         and pair_level.get(key) == t:
-                    blk = jnp.transpose(
-                        g[:, :, off:off + width], (2, 1, 0)
-                    ).reshape(width * W, N_t)  # [(ci*Cj+cj)*W+d, n]
+                    if key in fused:
+                        # w-major storage [d*Ci*Cj + ci*Cj + cj, n]: each
+                        # degree-slot d is a contiguous [Ci*Cj, N_t]
+                        # plane — the layout the fused pallas pair kernel
+                        # slices (ops/fusedpair.py; Mosaic has no rank-3
+                        # reductions)
+                        blk = jnp.transpose(
+                            g[:, :, off:off + width], (1, 2, 0)
+                        ).reshape(W * width, N_t)
+                    else:
+                        # channel-major [(ci*Cj+cj)*W+d, n]: aligns with
+                        # pg [Cj, W, N_t] in the XLA apply path with no
+                        # relayout
+                        blk = jnp.transpose(
+                            g[:, :, off:off + width], (2, 1, 0)
+                        ).reshape(width * W, N_t)
                     if block_dtype is not None:
                         # bf16 block STORAGE halves the dominant
                         # per-PCG-step HBM read; products upcast back
@@ -946,9 +999,22 @@ def bsr_apply(bsr: GroupBsr, blocks, p, replicate=None):
     # ~8-cycle-per-index cost (PERF.md) is paid once per table.  Col
     # tables referenced only by transpose pairs never gather (their ids
     # feed the one-hot aggregation directly).
+    # fused col+transpose pairs: when a "col" pair has a transpose
+    # partner (small column-side image), ONE pallas kernel per level
+    # computes both directions reading the blocks once, with the routing
+    # one-hot generated in VMEM (ops/fusedpair.py) — the XLA form
+    # materializes a [S, W, N_t] one-hot in HBM inside the PCG loop
+    # (the measured 1M-obs iteration floor).
+    from ..ops.fusedpair import fused_pair_apply
+
+    blk_dtype = next((v.dtype for k, v in blocks.items()
+                      if bsr.pairs[k][2] == "col"), None)
+    fused = (fused_pair_cols(bsr, blk_dtype)
+             if blk_dtype is not None else {})
+
     used_gathers = set()
-    for pr in bsr.pairs:
-        if pr[2] == "col":
+    for p_idx, pr in enumerate(bsr.pairs):
+        if pr[2] == "col" and p_idx not in fused:
             used_gathers.add(pr[3])
     by_table: Dict[tuple, list] = {}
     for gidx, (ct, img, C) in enumerate(bsr.col_gathers):
@@ -1027,6 +1093,8 @@ def bsr_apply(bsr: GroupBsr, blocks, p, replicate=None):
         Ci = bsr.slot_channels[i]
         Cj = bsr.slot_channels[j]
         if pr[2] == "transpose":
+            if fused.get(pr[3]) == p_idx:
+                continue  # computed by the fused kernel at the col pair
             # partner (j, i, "col", g): blocks [Cj*Ci*W, N_t] over j's
             # row table; z = B^T p_j broadcast over rows, then one-hot
             # aggregate by destination (this slot's element ids = the
@@ -1052,6 +1120,29 @@ def bsr_apply(bsr: GroupBsr, blocks, p, replicate=None):
             _add(i, contrib)
             continue
         blk = blocks[p_idx]
+        if p_idx in fused:
+            # fused pallas path: one kernel per level computes this col
+            # pair AND its transpose partner, reading the (w-major)
+            # blocks once with the one-hot generated in VMEM
+            from ..ops.fusedpair import _mode as _fp_mode
+
+            ct = bsr.col_gathers[pr[3]][0]
+            t = bsr.col_row[ct]
+            W, N_t = bsr.cols[ct].shape
+            img_j = bsr.slot_images[j]
+            S_col = int(np.prod(bsr.image_shapes[img_j][:-1]))
+            sel = bsr.row_sels[t]
+            prow = pT[bsr.slot_images[i]]  # [Ci, N_i]
+            if sel is not None:
+                prow = prow[:, sel]  # [Ci, N_t] (tiny overflow tail)
+            rows_c, cols_c = fused_pair_apply(
+                bsr.cols[ct], blk, pT[img_j], prow,
+                Ci=Ci, Cj=Cj, S=S_col,
+                interpret=_fp_mode() == "interpret")
+            dt = p[bsr.slot_images[i]].dtype
+            _add(i, rows_c.astype(dt), sel=sel)
+            _add(j, cols_c.astype(dt))
+            continue
         if blk.dtype != p[bsr.slot_images[i]].dtype:
             blk = blk.astype(p[bsr.slot_images[i]].dtype)  # bf16 storage
         if pr[2] == "diag":

@@ -1137,6 +1137,11 @@ class CompiledSolver:
                     f"group on the block-sparse path; group {gp.name} is "
                     "not (schedule it with JtJ.set_sparse(True))")
             blocks = entry["bsr"]
+            from .blocksparse import cross_block_4d, fused_pair_cols
+            _blk_dtype = next((v.dtype for k, v in blocks.items()
+                               if bsr.pairs[k][2] == "col"), None)
+            fused = (fused_pair_cols(bsr, _blk_dtype)
+                     if _blk_dtype is not None else {})
             for p_idx, pr in enumerate(bsr.pairs):
                 i, j = pr[0], pr[1]
                 a, b2 = bsr.slot_images[i], bsr.slot_images[j]
@@ -1159,7 +1164,8 @@ class CompiledSolver:
                     t = bsr.col_row[ct]
                     blkT = blocks[pr[3]].astype(dtype)
                     W, Nt = bsr.cols[ct].shape
-                    BT = blkT.reshape(Cb, Ca, W, Nt)
+                    BT = cross_block_4d(bsr, fused, pr[3], blkT,
+                                        Cb, Ca, W, Nt)
                     sel = bsr.row_sels[t]
                     rows_b = sel if sel is not None else jnp.arange(Nt)
                     ia = jnp.broadcast_to(bsr.cols[ct], (W, Nt)).reshape(-1)
@@ -1177,7 +1183,8 @@ class CompiledSolver:
                     ct = bsr.col_gathers[pr[3]][0]
                     cols = bsr.cols[ct]  # [W, N_t]
                     sel = bsr.row_sels[bsr.col_row[ct]]
-                    B = blk.reshape(Ca, Cb, cols.shape[0], cols.shape[1])
+                    B = cross_block_4d(bsr, fused, p_idx, blk, Ca, Cb,
+                                       cols.shape[0], cols.shape[1])
                 if a in elim:
                     if b2 in keep:
                         if sel is not None:
