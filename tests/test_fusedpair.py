@@ -28,7 +28,7 @@ def _reference(ids, blocks_wm, pcol, prow, Ci, Cj, S):
 
 
 @pytest.mark.parametrize("N", [384, 1000])  # 1000: non-128-multiple tail
-@pytest.mark.parametrize("W", [1, 3])
+@pytest.mark.parametrize("W", [1, 3, 12])   # 12: the W>8 2-D-grid kernel
 def test_fused_pair_matches_dense(N, W):
     rng = np.random.default_rng(0)
     Ci, Cj, S = 3, 5, 64
@@ -48,12 +48,14 @@ def test_fused_pair_matches_dense(N, W):
 def test_eligibility_gates():
     assert not fused_pair_eligible(4096 + 1, 4, 1000, jnp.float32)
     assert not fused_pair_eligible(256, 4, 1000, jnp.float64)
+    assert not fused_pair_eligible(64, 2, 1000, jnp.float32)  # tiny level
     os.environ["THALLO_FUSED_PAIR"] = "0"
     try:
-        assert not fused_pair_eligible(256, 4, 1000, jnp.float32)
+        assert not fused_pair_eligible(256, 4, 10_000, jnp.float32)
     finally:
         os.environ["THALLO_FUSED_PAIR"] = "interpret"
-    assert fused_pair_eligible(256, 4, 1000, jnp.bfloat16)
+    assert fused_pair_eligible(256, 4, 10_000, jnp.bfloat16)
+    assert fused_pair_eligible(1024, 716, 325, jnp.float32)  # skew tail
 
 
 def test_solver_cross_check_fused_vs_xla():

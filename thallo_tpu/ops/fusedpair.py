@@ -94,6 +94,57 @@ def _kernel(ids_ref, b_ref, pcol_ref, prow_ref, rows_ref, cols_ref,
     cols_ref[:] += acc_cols
 
 
+def _kernel_wloop(ids_ref, b_ref, pcol_ref, prow_ref, rows_ref, cols_ref,
+                  acc_ref, *, Ci, Cj, S, N, n_blk):
+    """Large-W variant: 2-D grid (tile, w), one degree slot per program.
+    Same math as _kernel; w is a grid dimension instead of an unrolled
+    loop, so W is unbounded (skew tail levels reach W~700) and the
+    blocks tile stays [Ci*Cj, n_blk] regardless of W.  rows_ref is a
+    revisited output block (same tile index across the inner w steps);
+    cols accumulates in scratch and writes once at the very end."""
+    i, w = pl.program_id(0), pl.program_id(1)
+    nw = pl.num_programs(1)
+
+    @pl.when((i == 0) & (w == 0))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(w == 0)
+    def _():
+        rows_ref[:] = jnp.zeros_like(rows_ref)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_blk), 1)
+    valid = (i * n_blk + lane) < N
+    pcol = pcol_ref[:].astype(jnp.bfloat16)
+    prow = prow_ref[:]
+    prow_t = jnp.concatenate(
+        [prow[ci:ci + 1] for ci in range(Ci) for _ in range(Cj)], axis=0)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (S, n_blk), 0)
+    ids_w = jnp.where(valid, ids_ref[0:1, :], S)
+    oh = (iota_s == ids_w).astype(jnp.bfloat16)
+    pc = jax.lax.dot_general(
+        pcol, oh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    bw = b_ref[:].astype(jnp.float32)  # [Ci*Cj, n_blk]
+    pc_t = jnp.concatenate([pc] * Ci, axis=0)
+    prod = bw * pc_t
+    rows_ref[:] += jnp.concatenate(
+        [jnp.sum(prod[ci * Cj:(ci + 1) * Cj], axis=0, keepdims=True)
+         for ci in range(Ci)], axis=0)
+    prod2 = bw * prow_t
+    z = prod2[0:Cj]
+    for ci in range(1, Ci):
+        z = z + prod2[ci * Cj:(ci + 1) * Cj]
+    z = jnp.where(valid, z, 0.0)
+    acc_ref[:] += jax.lax.dot_general(
+        z.astype(jnp.bfloat16), oh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when((i == pl.num_programs(0) - 1) & (w == nw - 1))
+    def _():
+        cols_ref[:] = acc_ref[:]
+
+
 # flag: 1 (default) = pallas on TPU, XLA elsewhere; 0 = never;
 # "interpret" = pallas interpreter everywhere (CPU tests)
 def _mode() -> str:
@@ -108,10 +159,13 @@ def fused_pair_eligible(S: int, W: int, N: int, dtype) -> bool:
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
                                 jnp.dtype(jnp.bfloat16)):
         return False  # f64 keeps the exact XLA path
-    # the kernel unrolls w (W one-hot builds + 2W dots per tile): cap W,
-    # and leave small levels (overflow tails) on the XLA routing path —
-    # they are cheap there and don't justify a kernel instantiation
-    if S > 2048 or W > 32 or N < 512 or S < 1:
+    if S > 2048 or S < 1:
+        return False  # one-hot tile [S, n_blk] must fit VMEM
+    # leave truly small levels on the XLA routing path (their hoisted
+    # one-hot is a few MB at most and a kernel instantiation buys
+    # nothing); everything bigger fuses — the XLA form materializes
+    # S*W*N*2 bytes in HBM (476 MB for skew-1M's W=716 tail level)
+    if S * W * N < (1 << 20):
         return False
     if mode != "interpret" and jax.default_backend() not in ("tpu", "axon"):
         return False
@@ -153,30 +207,68 @@ def fused_pair_apply(ids2d, blocks_wm, pcol, prow, *, Ci, Cj, S,
     """
     TRACE_COUNT[0] += 1
     W, N = ids2d.shape
-    n_blk = _pick_n_blk(W, Ci, Cj, S, N, jnp.dtype(blocks_wm.dtype).itemsize)
-    kern = functools.partial(_kernel, Ci=Ci, Cj=Cj, W=W, S=S, N=N,
+    bb = jnp.dtype(blocks_wm.dtype).itemsize
+    out_shape = [
+        jax.ShapeDtypeStruct((Ci, N), jnp.float32),
+        jax.ShapeDtypeStruct((Cj, S), jnp.float32),
+    ]
+    if W <= 8:
+        # unrolled w loop: best pipelining for the common low-degree
+        # levels (uniform BA W=4, base levels)
+        n_blk = _pick_n_blk(W, Ci, Cj, S, N, bb)
+        kern = functools.partial(_kernel, Ci=Ci, Cj=Cj, W=W, S=S, N=N,
+                                 n_blk=n_blk)
+        rows, cols = pl.pallas_call(
+            kern,
+            grid=(_cdiv(N, n_blk),),
+            in_specs=[
+                pl.BlockSpec((W, n_blk), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((W * Ci * Cj, n_blk), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Cj, S), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Ci, n_blk), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((Ci, n_blk), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Cj, S), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(ids2d, blocks_wm, pcol.astype(jnp.float32),
+          prow.astype(jnp.float32))
+        return rows, cols
+    # large W: 2-D grid (tile, w), one degree slot per program — W is
+    # unbounded (skew tails reach W~700) and VMEM stays W-independent
+    F = Ci * Cj
+    n_blk = _pick_n_blk(1, Ci, Cj, S, N, bb)
+    kern = functools.partial(_kernel_wloop, Ci=Ci, Cj=Cj, S=S, N=N,
                              n_blk=n_blk)
     rows, cols = pl.pallas_call(
         kern,
-        grid=(_cdiv(N, n_blk),),
+        grid=(_cdiv(N, n_blk), W),
         in_specs=[
-            pl.BlockSpec((W, n_blk), lambda i: (0, i),
+            pl.BlockSpec((1, n_blk), lambda i, w: (w, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W * Ci * Cj, n_blk), lambda i: (0, i),
+            pl.BlockSpec((F, n_blk), lambda i, w: (w, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cj, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Ci, n_blk), lambda i: (0, i),
+            pl.BlockSpec((Cj, S), lambda i, w: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ci, n_blk), lambda i, w: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((Ci, n_blk), lambda i: (0, i),
+            pl.BlockSpec((Ci, n_blk), lambda i, w: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cj, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cj, S), lambda i, w: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Ci, N), jnp.float32),
-            jax.ShapeDtypeStruct((Cj, S), jnp.float32),
-        ],
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((Cj, S), jnp.float32)],
         interpret=interpret,
     )(ids2d, blocks_wm, pcol.astype(jnp.float32), prow.astype(jnp.float32))
     return rows, cols
