@@ -120,12 +120,12 @@ def _kernel_wloop(ids_ref, b_ref, pcol_ref, prow_ref, rows_ref, cols_ref,
     prow_t = jnp.concatenate(
         [prow[ci:ci + 1] for ci in range(Ci) for _ in range(Cj)], axis=0)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (S, n_blk), 0)
-    ids_w = jnp.where(valid, ids_ref[0:1, :], S)
+    ids_w = jnp.where(valid, ids_ref[0], S)  # [1, n_blk]
     oh = (iota_s == ids_w).astype(jnp.bfloat16)
     pc = jax.lax.dot_general(
         pcol, oh, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    bw = b_ref[:].astype(jnp.float32)  # [Ci*Cj, n_blk]
+    bw = b_ref[0].astype(jnp.float32)  # [Ci*Cj, n_blk]
     pc_t = jnp.concatenate([pc] * Ci, axis=0)
     prod = bw * pc_t
     rows_ref[:] += jnp.concatenate(
@@ -243,7 +243,11 @@ def fused_pair_apply(ids2d, blocks_wm, pcol, prow, *, Ci, Cj, S,
           prow.astype(jnp.float32))
         return rows, cols
     # large W: 2-D grid (tile, w), one degree slot per program — W is
-    # unbounded (skew tails reach W~700) and VMEM stays W-independent
+    # unbounded (skew tails reach W~700) and VMEM stays W-independent.
+    # ids/blocks reshape to 3-D so the w-blocked axis LEADS: the TPU
+    # lowering requires the last two block dims be (8,128)-divisible or
+    # equal to the array dims, which (1, n_blk)/(F, n_blk) slices of the
+    # 2-D forms are not.
     F = Ci * Cj
     n_blk = _pick_n_blk(1, Ci, Cj, S, N, bb)
     kern = functools.partial(_kernel_wloop, Ci=Ci, Cj=Cj, S=S, N=N,
@@ -252,9 +256,9 @@ def fused_pair_apply(ids2d, blocks_wm, pcol, prow, *, Ci, Cj, S,
         kern,
         grid=(_cdiv(N, n_blk), W),
         in_specs=[
-            pl.BlockSpec((1, n_blk), lambda i, w: (w, i),
+            pl.BlockSpec((1, 1, n_blk), lambda i, w: (w, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, n_blk), lambda i, w: (w, i),
+            pl.BlockSpec((1, F, n_blk), lambda i, w: (w, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Cj, S), lambda i, w: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -270,5 +274,6 @@ def fused_pair_apply(ids2d, blocks_wm, pcol, prow, *, Ci, Cj, S,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((Cj, S), jnp.float32)],
         interpret=interpret,
-    )(ids2d, blocks_wm, pcol.astype(jnp.float32), prow.astype(jnp.float32))
+    )(ids2d.reshape(W, 1, N), blocks_wm.reshape(W, F, N),
+      pcol.astype(jnp.float32), prow.astype(jnp.float32))
     return rows, cols
