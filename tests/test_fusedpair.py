@@ -45,17 +45,54 @@ def test_fused_pair_matches_dense(N, W):
     np.testing.assert_allclose(np.asarray(cols), c_ref, rtol=2e-2, atol=1e-2)
 
 
-def test_eligibility_gates():
+def test_eligibility_gates(monkeypatch):
     assert not fused_pair_eligible(4096 + 1, 4, 1000, jnp.float32)
     assert not fused_pair_eligible(256, 4, 1000, jnp.float64)
     assert not fused_pair_eligible(64, 2, 1000, jnp.float32)  # tiny level
-    os.environ["THALLO_FUSED_PAIR"] = "0"
-    try:
-        assert not fused_pair_eligible(256, 4, 10_000, jnp.float32)
-    finally:
-        os.environ["THALLO_FUSED_PAIR"] = "interpret"
+    monkeypatch.setenv("THALLO_FUSED_PAIR", "0")
+    assert not fused_pair_eligible(256, 4, 10_000, jnp.float32)
+    monkeypatch.setenv("THALLO_FUSED_PAIR", "interpret")
     assert fused_pair_eligible(256, 4, 10_000, jnp.bfloat16)
     assert fused_pair_eligible(1024, 716, 325, jnp.float32)  # skew tail
+    # huge Ci*Cj: even the W-independent 2-D-grid tile misses the VMEM
+    # budget — must stay on the XLA path (advisor r4)
+    assert not fused_pair_eligible(2048, 4, 10_000, jnp.float32,
+                                   Ci=32, Cj=32)
+
+
+def test_setup_records_layout(monkeypatch):
+    """The fused set is decided at setup and RECORDED on BsrBlocks;
+    bsr_apply reads it from there, so flipping THALLO_FUSED_PAIR between
+    setup and apply cannot reinterpret the stored layout (advisor r4).
+    Mesh mode records an empty fused set (the pallas kernel does not
+    partition under GSPMD)."""
+    from thallo_tpu.models import bundle_adjustment as ba
+    from thallo_tpu.solver.blocksparse import (
+        BsrBlocks, build_group_bsr, fused_pair_cols)
+
+    inputs, _ = ba.skewed_inputs(96, 4000, 24_000)
+    spec = ba.make_spec()
+    dims = {"C": 96, "P": 4000, "O": len(inputs["oToC"])}
+    monkeypatch.setenv("THALLO_FUSED_PAIR", "interpret")
+    plan = spec.plan(dims, solver="levenberg_marquardt")
+    plan.set_solver_parameter("nIterations", 1)
+    plan.init(inputs)
+    bsr = next(c["bsr"] for c in plan._prep["consts"]
+               if isinstance(c, dict) and c.get("bsr") is not None)
+    fused = fused_pair_cols(bsr, jnp.float32)
+    assert fused, "scene too small to exercise the fused path"
+    assert fused_pair_cols(bsr, jnp.float32, mesh=True) == {}
+    # run one real setup phase, grab the recorded layout from the state
+    solver = plan.compiled
+    state = jax.jit(solver.solve_setup)(
+        plan._U, plan._lm, plan._step_inputs(), plan._sp(), plan._prep)
+    entry = next(v for v in state["jac_store"].values() if "bsr" in v)
+    blocks = entry["bsr"]
+    assert isinstance(blocks, BsrBlocks)
+    assert dict(blocks.fused) == fused
+    # flipping the env after setup must not change what apply reads
+    monkeypatch.setenv("THALLO_FUSED_PAIR", "0")
+    assert blocks.fused_map() == fused
 
 
 def test_solver_cross_check_fused_vs_xla():

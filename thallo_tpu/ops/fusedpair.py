@@ -151,8 +151,10 @@ def _mode() -> str:
     return os.environ.get("THALLO_FUSED_PAIR", "1")
 
 
-def fused_pair_eligible(S: int, W: int, N: int, dtype) -> bool:
-    """Static eligibility (called at trace time)."""
+def fused_pair_eligible(S: int, W: int, N: int, dtype,
+                        Ci: int = 1, Cj: int = 1) -> bool:
+    """Static eligibility (called at trace time; recorded on BsrBlocks
+    at setup so readers never re-derive it)."""
     mode = _mode()
     if mode == "0":
         return False
@@ -166,6 +168,11 @@ def fused_pair_eligible(S: int, W: int, N: int, dtype) -> bool:
     # nothing); everything bigger fuses — the XLA form materializes
     # S*W*N*2 bytes in HBM (476 MB for skew-1M's W=716 tail level)
     if S * W * N < (1 << 20):
+        return False
+    # even the W-independent 2-D-grid variant must fit a 256-lane tile
+    # in the VMEM budget (huge Ci*Cj): stay on the XLA path otherwise
+    bb = jnp.dtype(dtype).itemsize
+    if _pick_n_blk(1, Ci, Cj, S, N, bb) == 0:
         return False
     if mode != "interpret" and jax.default_backend() not in ("tpu", "axon"):
         return False
@@ -183,7 +190,13 @@ def _pick_n_blk(W: int, Ci: int, Cj: int, S: int, N: int,
     F = Ci * Cj
     per_lane = 2 * W * F * blk_bytes + S * 2 + 8 * F * 4 + W * 8 + 64
     n = budget // max(per_lane, 1)
-    n = max(256, min(2048, (n // 128) * 128))
+    if n < 256:
+        # a very wide level (large W*Ci*Cj) can't fit even the minimum
+        # 256-lane tile in budget: signal the caller to use the 2-D-grid
+        # W-loop variant (W-independent VMEM) instead of clamping up and
+        # recreating the scoped-vmem compile failure (advisor r4)
+        return 0
+    n = min(2048, (n // 128) * 128)
     n_needed = _cdiv(N, 128) * 128
     return min(n, max(256, n_needed))
 
@@ -212,10 +225,11 @@ def fused_pair_apply(ids2d, blocks_wm, pcol, prow, *, Ci, Cj, S,
         jax.ShapeDtypeStruct((Ci, N), jnp.float32),
         jax.ShapeDtypeStruct((Cj, S), jnp.float32),
     ]
-    if W <= 8:
+    n_blk = _pick_n_blk(W, Ci, Cj, S, N, bb) if W <= 8 else 0
+    if n_blk > 0:
         # unrolled w loop: best pipelining for the common low-degree
-        # levels (uniform BA W=4, base levels)
-        n_blk = _pick_n_blk(W, Ci, Cj, S, N, bb)
+        # levels (uniform BA W=4, base levels); n_blk == 0 means the
+        # level is too wide for the unrolled tile — use the 2-D grid
         kern = functools.partial(_kernel, Ci=Ci, Cj=Cj, W=W, S=S, N=N,
                                  n_blk=n_blk)
         rows, cols = pl.pallas_call(

@@ -23,6 +23,7 @@ fall back to jax.ops.segment_sum.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -107,10 +108,14 @@ def bf16_split3(x):
     return h1, h2, h3
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2,))
 def dot_oh_exact(values, onehot_bf16, dimension_numbers):
     """Exact f32 dot against a 0/1 bf16 operand in 3 bf16 MXU passes
-    (see bf16_split3; non-differentiated sites only).  Falls back to a
-    single HIGHEST dot on CPU (f32 dots are exact there) and for f64."""
+    (see bf16_split3; non-differentiated sites only — the contract is
+    machine-enforced: differentiating through this raises instead of
+    producing the garbage cotangents AD of the bf16 split would give,
+    advisor r4).  Falls back to a single HIGHEST dot on CPU (f32 dots
+    are exact there) and for f64."""
     if values.dtype != jnp.float32 or jax.default_backend() == "cpu":
         return jax.lax.dot_general(
             values, onehot_bf16.astype(values.dtype), dimension_numbers,
@@ -122,6 +127,15 @@ def dot_oh_exact(values, onehot_bf16, dimension_numbers):
                                 preferred_element_type=jnp.float32)
         out = d if out is None else out + d
     return out
+
+
+@dot_oh_exact.defjvp
+def _dot_oh_exact_jvp(dimension_numbers, primals, tangents):
+    raise NotImplementedError(
+        "dot_oh_exact is non-differentiable by contract: AD through the "
+        "bf16 split rounds cotangents without the cancellation structure "
+        "(measured rel err ~1.8, see bf16_split3).  Differentiated "
+        "one-hot dots must use dot_general with Precision.HIGHEST.")
 
 
 def onehot_segment_sum(data: jnp.ndarray, ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:

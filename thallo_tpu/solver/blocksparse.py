@@ -685,15 +685,55 @@ def _oh_aggregate(parts, ids, n):
         preferred_element_type=jnp.float32).astype(parts.dtype)
 
 
-def fused_pair_cols(bsr: GroupBsr, block_dtype) -> Dict[int, int]:
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BsrBlocks:
+    """Assembled pair blocks + the STATIC layout record made at setup
+    time: which col pairs stored w-major for the fused pallas kernel.
+    Consumers (bsr_apply, the Schur assembly, diag-pair reads) read the
+    layout from here instead of re-deriving eligibility at their own
+    trace time — env/backend drift between setup and a reader would
+    otherwise silently reinterpret blocks in the wrong order (advisor
+    r4).  `fused` is aux data: a layout change retraces."""
+
+    blocks: Dict[int, jnp.ndarray]
+    fused: Tuple[Tuple[int, int], ...]  # (col pair idx, transpose pair idx)
+
+    def __getitem__(self, k):
+        return self.blocks[k]
+
+    def items(self):
+        return self.blocks.items()
+
+    def fused_map(self) -> Dict[int, int]:
+        return dict(self.fused)
+
+    def tree_flatten(self):
+        keys = tuple(sorted(self.blocks))
+        return tuple(self.blocks[k] for k in keys), (keys, self.fused)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        keys, fused = aux
+        return cls(dict(zip(keys, children)), fused)
+
+
+def fused_pair_cols(bsr: GroupBsr, block_dtype, mesh=False) -> Dict[int, int]:
     """Static map col-pair idx -> transpose-pair idx for pairs that run
-    through the fused pallas kernel (ops/fusedpair.py).  Shared by
-    bsr_setup (storage order: fused pairs store w-major) and bsr_apply /
-    the Schur assembly (layout when reading back).  All inputs are
-    trace-time static, so setup and apply always agree."""
+    through the fused pallas kernel (ops/fusedpair.py).  Decided ONCE in
+    bsr_setup and recorded on BsrBlocks; readers take it from there.
+
+    mesh=True disables the fused path: pallas_call inside a
+    GSPMD-sharded jit with edge-sharded block operands either fails to
+    partition or forces a full all-gather of the [W*F, N_t] blocks
+    every PCG iteration — exactly the O(edge-bytes) per-step
+    communication the multichip design avoids (advisor r4).  The XLA
+    routing path partitions cleanly instead."""
     from ..ops.fusedpair import fused_pair_eligible
 
     out: Dict[int, int] = {}
+    if mesh:
+        return out
     for p_idx, pr in enumerate(bsr.pairs):
         if pr[2] != "transpose":
             continue
@@ -704,7 +744,9 @@ def fused_pair_cols(bsr: GroupBsr, block_dtype) -> Dict[int, int]:
         W, N_t = bsr.cols[ct].shape
         img_col = bsr.slot_images[partner[1]]
         S_col = int(np.prod(bsr.image_shapes[img_col][:-1]))
-        if fused_pair_eligible(S_col, W, N_t, block_dtype):
+        Ci = bsr.slot_channels[partner[0]]
+        Cj = bsr.slot_channels[partner[1]]
+        if fused_pair_eligible(S_col, W, N_t, block_dtype, Ci=Ci, Cj=Cj):
             out[pr[3]] = p_idx
     return out
 
@@ -773,7 +815,8 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
     d2_out: Dict[str, jnp.ndarray] = {}
     blocks: Dict[int, jnp.ndarray] = {}
     fused = fused_pair_cols(
-        bsr, block_dtype if block_dtype is not None else dtype)
+        bsr, block_dtype if block_dtype is not None else dtype,
+        mesh=replicate is not None)
 
     # ---- one-hot row slots: MXU segment-sum aggregation -------------------
     # batch all parts sharing one index array into a single matmul
@@ -959,7 +1002,7 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
                 # these, so keep them full precision
                 blocks[key] = combined[:, off:off + width].T
             off += width
-    return jtr_out, d2_out, blocks
+    return jtr_out, d2_out, BsrBlocks(blocks, tuple(sorted(fused.items())))
 
 
 def bsr_apply(bsr: GroupBsr, blocks, p, replicate=None):
@@ -1004,13 +1047,12 @@ def bsr_apply(bsr: GroupBsr, blocks, p, replicate=None):
     # computes both directions reading the blocks once, with the routing
     # one-hot generated in VMEM (ops/fusedpair.py) — the XLA form
     # materializes a [S, W, N_t] one-hot in HBM inside the PCG loop
-    # (the measured 1M-obs iteration floor).
+    # (the measured 1M-obs iteration floor).  The fused set is the one
+    # RECORDED at setup (BsrBlocks.fused): storage layout and read
+    # layout can never disagree.
     from ..ops.fusedpair import fused_pair_apply
 
-    blk_dtype = next((v.dtype for k, v in blocks.items()
-                      if bsr.pairs[k][2] == "col"), None)
-    fused = (fused_pair_cols(bsr, blk_dtype)
-             if blk_dtype is not None else {})
+    fused = blocks.fused_map() if isinstance(blocks, BsrBlocks) else {}
 
     used_gathers = set()
     for p_idx, pr in enumerate(bsr.pairs):

@@ -1137,11 +1137,9 @@ class CompiledSolver:
                     f"group on the block-sparse path; group {gp.name} is "
                     "not (schedule it with JtJ.set_sparse(True))")
             blocks = entry["bsr"]
-            from .blocksparse import cross_block_4d, fused_pair_cols
-            _blk_dtype = next((v.dtype for k, v in blocks.items()
-                               if bsr.pairs[k][2] == "col"), None)
-            fused = (fused_pair_cols(bsr, _blk_dtype)
-                     if _blk_dtype is not None else {})
+            from .blocksparse import BsrBlocks, cross_block_4d
+            fused = (blocks.fused_map()
+                     if isinstance(blocks, BsrBlocks) else {})
             for p_idx, pr in enumerate(bsr.pairs):
                 i, j = pr[0], pr[1]
                 a, b2 = bsr.slot_images[i], bsr.slot_images[j]
