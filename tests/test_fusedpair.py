@@ -29,9 +29,12 @@ def _reference(ids, blocks_wm, pcol, prow, Ci, Cj, S):
 
 @pytest.mark.parametrize("N", [384, 1000])  # 1000: non-128-multiple tail
 @pytest.mark.parametrize("W", [1, 3, 12])   # 12: the W>8 2-D-grid kernel
-def test_fused_pair_matches_dense(N, W):
+# 64: direct one-hot; 500: two-digit decomposition with a non-128-
+# multiple S (padding columns in [S, H*L) must drop)
+@pytest.mark.parametrize("S", [64, 500])
+def test_fused_pair_matches_dense(N, W, S):
     rng = np.random.default_rng(0)
-    Ci, Cj, S = 3, 5, 64
+    Ci, Cj = 3, 5
     ids = rng.integers(0, S, (W, N)).astype(np.int32)
     ids[:, -7:] = S + 3  # out-of-range tail must drop silently
     blocks = rng.normal(size=(W * Ci * Cj, N)).astype(np.float32)

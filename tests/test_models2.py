@@ -113,6 +113,24 @@ def test_spatially_varying_deconvolution():
     assert final < 0.05 * c0
 
 
+def test_deconvolution():
+    """The plain (single-kernel) deconvolution energy behind the
+    reference's deconvolution AND proximal example drivers
+    (examples/deconvolution/src/CombinedSolver.h — the energy file is
+    absent from the reference drop; models/deconvolution.py
+    reconstructs it from the driver's parameter surface)."""
+    from thallo_tpu.models import deconvolution as dc
+
+    spec = dc.make_spec(k_half=2)
+    inputs, _ = dc.synthetic_inputs(W=16, H=16, k_half=2)
+    plan = spec.plan({"W": 16, "H": 16, "Kd": 5}, solver="gauss_newton")
+    plan.set_solver_parameter("nIterations", 6)
+    plan.set_solver_parameter("lIterations", 40)
+    c0 = plan.init(inputs)
+    final = plan.solve()
+    assert final < 0.2 * c0
+
+
 def test_face_fitting_recovers_weights():
     spec = face_fitting.make_spec()
     inputs, meta = face_fitting.synthetic_inputs(N=48, M=4)

@@ -1185,17 +1185,18 @@ class CompiledSolver:
                                        cols.shape[0], cols.shape[1])
                 if a in elim:
                     if b2 in keep:
-                        if sel is not None:
-                            # overflow level: expand the high-degree tail
-                            # back to full element order so couplings of
-                            # one eliminated element align (zero blocks
-                            # on untouched lanes contribute nothing)
-                            W = cols.shape[0]
-                            Bf = jnp.zeros((Ca, Cb, W, Na), dtype)
-                            B = Bf.at[:, :, :, sel].set(B)
-                            colsf = jnp.zeros((W, Na), cols.dtype)
-                            cols = colsf.at[:, sel].set(cols)
-                        couplings[a].append((B, cols, b2))
+                        # PER-LEVEL coupling (B on its level's own lanes;
+                        # sel = covered element ids or None for full
+                        # coverage).  The r4 code expanded overflow
+                        # levels back to full element order here, which
+                        # costs O(W * Ne) memory — 19 GB at skew-1M's
+                        # W=716 tail — and made the downstream cross
+                        # products O(W^2 * Ne); pairs now align on the
+                        # smaller level's lanes instead (see the
+                        # correction loop).
+                        cu = (cols if cols is not None
+                              else jnp.arange(Na)[None, :])
+                        couplings[a].append((B, cu, b2, sel))
                     continue  # elim-elim is the (damped, inverted) Einv
                 if b2 in elim:
                     continue  # transpose of an elim-keep pair
@@ -1231,33 +1232,90 @@ class CompiledSolver:
         for (a, bname, vals, ia, ib) in kk_cross:
             S = add_blocks(S, a, bname, vals, ia, ib)
 
-        # the Schur correction: -A_ke A_ee^-1 A_ek per eliminated image
+        # the Schur correction: -A_ke A_ee^-1 A_ek per eliminated image.
+        # Each (u, v) coupling pair aligns on the SMALLER level's element
+        # lanes (levels of one row table are nested by construction;
+        # cross-base pairs intersect-with-mask: an element outside either
+        # level has no observations in its rank range, so masked lanes
+        # are exactly the empty products) and scans over u's degree axis
+        # so the largest live intermediate is [Cku, Ckv, Dv, Nc] — the
+        # r4 form materialized [Cku, Du, Ckv, Dv, Ne], which is O(W^2)
+        # in table width and OOMed on skewed scenes (70 GB at W=375).
         for e in elim:
             cps = couplings[e]
             if not cps:
                 continue
             Ne, Ce = elements[e]
             G3 = Einv[e].reshape(Ce, Ce, Ne)
-            GB = [jnp.sum(G3[:, :, None, None, :] * B[None], axis=1)
-                  for (B, _c, _k) in cps]  # [Ce, Ck, D, Ne] each
-            for u, (Bu, colsu, ku) in enumerate(cps):
-                iu = (colsu if colsu is not None
-                      else jnp.arange(Ne)[None, :])  # [Du, Ne]
-                for v, (_Bv, colsv, kv) in enumerate(cps):
-                    iv = (colsv if colsv is not None
-                          else jnp.arange(Ne)[None, :])
-                    # T[cku, du, ckv, dv, n] = sum_ce Bu.GBv
-                    T = jnp.sum(
-                        Bu[:, :, :, None, None, :]
-                        * GB[v][:, None, None, :, :, :], axis=0)
-                    Cku, Du, Ckv, Dv, _ = T.shape
-                    vals = jnp.transpose(T, (1, 3, 4, 0, 2)).reshape(
-                        Du * Dv * Ne, Cku, Ckv)
-                    ia = jnp.broadcast_to(
-                        iu[:, None, :], (Du, Dv, Ne)).reshape(-1)
-                    ib = jnp.broadcast_to(
-                        iv[None, :, :], (Du, Dv, Ne)).reshape(-1)
-                    S = add_blocks(S, ku, kv, -vals, ia, ib)
+            GB = []
+            for (B, _c, _k, sel) in cps:
+                Gl = G3 if sel is None else G3[:, :, sel]
+                GB.append(jnp.sum(Gl[:, :, None, None, :] * B[None],
+                                  axis=1))  # [Ce, Ck, D, N_t]
+            for u, (Bu, colsu, ku, selu) in enumerate(cps):
+                for v, (_Bv, colsv, kv, selv) in enumerate(cps):
+                    GBv = GB[v]
+                    Nu = Bu.shape[3]
+                    Nv = GBv.shape[3]
+                    # align both sides on the smaller lane set
+                    if selu is None and selv is None:
+                        Bu_c, cu_c = Bu, colsu
+                        GBv_c, cv_c = GBv, colsv
+                        valid = None
+                    else:
+                        u_fine = (selv is None
+                                  or (selu is not None and Nu <= Nv))
+                        fine_sel = selu if u_fine else selv
+                        coarse_sel = selv if u_fine else selu
+                        if coarse_sel is None:
+                            pos, valid = fine_sel, None
+                        else:
+                            pos = jnp.searchsorted(coarse_sel, fine_sel)
+                            pos = jnp.clip(pos, 0, coarse_sel.shape[0] - 1)
+                            valid = (jnp.take(coarse_sel, pos)
+                                     == fine_sel)  # [Nc]
+                        if u_fine:
+                            Bu_c, cu_c = Bu, colsu
+                            GBv_c = GBv[:, :, :, pos]
+                            cv_c = colsv[:, pos]
+                        else:
+                            Bu_c = Bu[:, :, :, pos]
+                            cu_c = colsu[:, pos]
+                            GBv_c, cv_c = GBv, colsv
+                    if valid is not None:
+                        # masked lanes: element not covered by both
+                        # levels -> no cross observations -> zero
+                        GBv_c = GBv_c * valid[None, None, None, :]
+                    Cku = Bu_c.shape[1]
+                    Ckv, Dv, Nc = GBv_c.shape[1:]
+                    Nb = elements[kv][0]
+
+                    def du_step(acc, xs, GBv_c=GBv_c, cv_c=cv_c,
+                                Cku=Cku, Ckv=Ckv, Dv=Dv, Nc=Nc, Nb=Nb):
+                        Bu_du, ia_du = xs  # [Ce, Cku, Nc], [Nc]
+                        T = jnp.sum(
+                            Bu_du[:, :, None, None, :]
+                            * GBv_c[:, None, :, :, :], axis=0
+                        )  # [Cku, Ckv, Dv, Nc]
+                        vals = jnp.transpose(T, (2, 3, 0, 1)).reshape(
+                            Dv * Nc, Cku * Ckv)
+                        ids = (ia_du[None, :] * Nb + cv_c).reshape(-1)
+                        acc = acc + jax.ops.segment_sum(
+                            vals, ids, num_segments=elements[ku][0] * Nb)
+                        return acc, None
+
+                    Du = Bu_c.shape[2]
+                    acc0 = jnp.zeros(
+                        (elements[ku][0] * Nb, Cku * Ckv), dtype)
+                    acc, _ = jax.lax.scan(
+                        du_step, acc0,
+                        (jnp.moveaxis(Bu_c, 2, 0), cu_c))
+                    Na_u = elements[ku][0]
+                    blockmat = jnp.transpose(
+                        acc.reshape(Na_u, Nb, Cku, Ckv), (0, 2, 1, 3))
+                    S = S.at[offs[ku]:offs[ku] + Na_u * Cku,
+                             offs[kv]:offs[kv] + Nb * Ckv].add(
+                        -blockmat.reshape(Na_u * Cku, Nb * Ckv))
 
         # keep-keep block diagonal + exact damping + identity rows for
         # excluded elements (mirrors _invert_damped_blocks / the dense
