@@ -178,7 +178,8 @@ def _roofline_rows(plan, marg_s):
 
 
 def bench_bundle_adjustment(n_cameras, n_points, obs_per_point=4, n_steps=16,
-                            l_iters=16, scan_k=8, reps=2, skew=False):
+                            l_iters=16, scan_k=8, reps=2, skew=False,
+                            measure_warm=False):
     """The second north-star workload (BASELINE.json): Snavely BA.
     skew=True uses the BAL-statistics power-law degree scene
     (models/bundle_adjustment.skewed_inputs — the degree regime of real
@@ -274,6 +275,25 @@ def bench_bundle_adjustment(n_cameras, n_points, obs_per_point=4, n_steps=16,
         if plan.cost() <= target:
             tt = time.perf_counter() - t0
             break
+    if measure_warm:
+        # warm-cache compile: a FRESH plan of the same shape in the same
+        # process misses the in-memory jit cache (new closures) but hits
+        # the persistent XLA cache — this is the repeat-user experience
+        # and the cache's measured hit value (the cold number above
+        # conflates first-ever compile with relay latency).
+        t0 = time.perf_counter()
+        spec2 = __import__("thallo_tpu.models.bundle_adjustment",
+                           fromlist=["make_spec"]).make_spec()
+        plan2 = spec2.plan(
+            {"C": n_cameras, "P": n_points, "O": O},
+            solver="levenberg_marquardt")
+        plan2.set_solver_parameter("lIterations", l_iters)
+        plan2.init(inputs)
+        plan2.steps_per_dispatch = scan_k
+        plan2.run_steps(scan_k)
+        jax.block_until_ready(plan2._U)
+        roof["compile_warm_s"] = round(time.perf_counter() - t0, 1)
+        del plan2
     return iters_per_s, tt, O, converged, degraded, roof, compile_s
 
 
@@ -378,7 +398,8 @@ def main():
                                             skew=True)),
         # BAL-scale: real problems run 100k-5M observations
         ("bundle_adjustment_1m", dict(n_cameras=1024, n_points=250000,
-                                      n_steps=8, scan_k=4, reps=1)),
+                                      n_steps=8, scan_k=4, reps=1,
+                                      measure_warm=True)),
         ("bundle_adjustment_skew1m", dict(n_cameras=1024, n_points=250000,
                                           n_steps=8, scan_k=4, reps=1,
                                           skew=True)),
@@ -391,8 +412,9 @@ def main():
             extra[f"{name}_pcg_iters_per_s"] = round(ba_v, 2)
             extra[f"{name}_time_to_target_s"] = round(ba_tt, 4)
             extra[f"{name}_observations"] = n_obs
-            extra[f"{name}_compile_s"] = round(compile_s, 1)
-            for k in ("achieved_gbps", "hbm_fraction", "marginal_pcg_iter_ms"):
+            extra[f"{name}_compile_cold_s"] = round(compile_s, 1)
+            for k in ("achieved_gbps", "hbm_fraction", "marginal_pcg_iter_ms",
+                      "compile_warm_s", "roofline_note"):
                 if k in roof:
                     extra[f"{name}_{k}"] = roof[k]
         except Exception as e:  # noqa: BLE001

@@ -308,3 +308,75 @@ r.reg.JtJ.set_sparse(True)
     plan2.set_solver_parameter("nIterations", 6)
     plan2.init(dict(ins))
     assert np.isclose(plan2.solve(), sparse_final, rtol=1e-3)
+
+
+CROSS_SPARSE = """
+E, K, N = Dims("E", "K", "N")
+Inputs(X=Unknown(float, (N,), 0), A=Array(float, (K, E), 1),
+       S=Sparse((E,), (N,), 2))
+k = K()
+e = E()
+r = Residuals(fit=A(k, e) * X(S(e)) - A(k, e))
+"""
+
+
+def test_analytic_cold_start_reorder(tmp_path, monkeypatch):
+    """Mode 1 on a COLD machine (empty measurement store) reorders a
+    cross-domain group so the sparse slot's dependent domain leads the
+    row-major flattening — the symbolic reorder_for_coherence analog
+    (thallo.t:5308-5325).  Mechanical benefit pinned: under the chosen
+    order the flattened sparse index array is SORTED (run-structured
+    payload gathers / row_starts, the r4 sorted-run machinery); under
+    the discovery order it interleaves.  Answers are invariant."""
+    monkeypatch.setenv("THALLO_MEASUREMENTS", str(tmp_path / "empty.json"))
+    rng = np.random.RandomState(3)
+    E, K, N = 60, 3, 40
+    s = np.sort(rng.randint(0, N, E)).astype(np.int32)
+    inputs = {"X": np.zeros(N, np.float32),
+              "A": rng.rand(K, E).astype(np.float32), "S": s}
+
+    spec0 = tl.load_energy(CROSS_SPARSE)
+    plan0 = spec0.plan({"E": E, "K": K, "N": N},
+                       solver="levenberg_marquardt")
+    g0 = plan0.compiled.groups[0].group
+    assert [d.dim.name for d in g0.ext_domains] == ["K", "E"], \
+        "test premise: discovery order is K-first"
+    ref = _solve(plan0, {k: np.copy(v) for k, v in inputs.items()})
+
+    spec1 = tl.load_energy(CROSS_SPARSE)
+    plan1 = spec1.plan({"E": E, "K": K, "N": N},
+                       solver="levenberg_marquardt", use_autoscheduler=1)
+    g1 = plan1.compiled.groups[0].group
+    assert [d.dim.name for d in g1.ext_domains] == ["E", "K"], \
+        "cold-start analytic reorder did not apply"
+    out = _solve(plan1, {k: np.copy(v) for k, v in inputs.items()})
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
+
+    # the mechanical benefit: sorted flattened ids under the new order
+    slot1 = next(sl for sl in g1.jac_slots if sl.image.name == "X")
+    idx1 = np.asarray(g1._slot_flat_indices(slot1, inputs, use_np=True)
+                      ).reshape(-1)
+    assert np.all(np.diff(idx1) >= 0)
+    slot0 = next(sl for sl in g0.jac_slots if sl.image.name == "X")
+    idx0 = np.asarray(g0._slot_flat_indices(slot0, inputs, use_np=True)
+                      ).reshape(-1)
+    assert not np.all(np.diff(idx0) >= 0)
+
+
+def test_compute_at_output_chosen_and_rolls():
+    """The heuristic CHOOSES compute_at_output (reference autoscheduler
+    step 5, thallo.t:5273-5306): inline-JtJp groups whose unknowns' dims
+    equal the residual domain get the flag — and on TPU the chosen form
+    is what the lowering already produces: every unknown access in such
+    a group lowers its transpose to an inverse ROLL (no inverse map, no
+    scatter), which is precisely 'iterate over output elements'."""
+    spec = tl.load_energy(LAPLACIAN)
+    plan = spec.plan({"W": 12, "H": 12}, use_autoscheduler=1)
+    flagged = [gp for gp in plan.compiled.groups
+               if getattr(gp, "compute_at_output", False)]
+    assert flagged, "no group chose compute_at_output"
+    for gp in flagged:
+        g = gp.group
+        for sl in g.uslots:
+            assert g._roll_plan(sl) is not None, \
+                (gp.name, sl, "flagged group must lower to rolls")

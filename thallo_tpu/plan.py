@@ -146,18 +146,31 @@ class Plan:
             log.append(f"({len(groups)} groups)")
             lin_hint = int(options.get("lin_iter_hint", SOLVER_PARAMETER_DEFAULTS["lIterations"]))
             schedules = heuristic_schedule(groups, lin_hint, log=log)
-            # measured-feedback reorder: if autotune recorded a faster
-            # non-default external-domain order for a group's chosen
-            # schedule, rebuild with it (reference reorder_for_coherence
-            # slot, thallo.t:5308-5325, driven by data)
-            from .schedule import select_measured_domain_orders
+            # reorder: measured timings take precedence (autotune store);
+            # with no recorded measurement the COLD-START analytic rule
+            # applies — prefer the external order whose row-major
+            # flattening makes each sparse slot's index array
+            # piecewise-repeat so ops/structured.py can lower its hot
+            # gathers (reference reorder_for_coherence, thallo.t:
+            # 5308-5325; the TPU translation of 'non-unknown domains
+            # innermost')
+            from .schedule import (analytic_domain_orders,
+                                   choose_compute_at_output,
+                                   select_measured_domain_orders)
 
             dorders = select_measured_domain_orders(groups, schedules, log=log)
+            a_orders = analytic_domain_orders(groups, schedules, log=log)
+            dorders = [m if m is not None else a
+                       for m, a in zip(dorders, a_orders)]
             if any(o is not None for o in dorders):
                 groups = self._build_groups(spec, auto, merge_all=True,
                                             domain_orders=dorders)
             for gp, s in zip(groups, schedules):
                 gp.schedule = s
+            # reference autoscheduler step 5 (thallo.t:5273-5306); on
+            # TPU the chosen form is what the lowering already produces
+            # (inverse rolls) — decision recorded for observability
+            choose_compute_at_output(groups, schedules, log=log)
             self._log_schedules(log)
         elif auto >= 3:
             # exhaustive candidate space = merge-vs-split x ComputedArray

@@ -297,6 +297,116 @@ def _domain_labels(doms):
     return labels
 
 
+def _slot_ext_deps(g, slot):
+    """External domains a slot's index expressions depend on."""
+    deps = []
+    for c in slot.comps:
+        for d in c.domains():
+            if d in g.ext_domains and d not in deps:
+                deps.append(d)
+    return deps
+
+
+def _slot_is_sparse(slot):
+    """True when any index component routes through a sparse-map gather
+    (an AffineComp term whose base is a SparseComp, possibly nested)."""
+    from .dims import IndexDomain, SparseComp
+
+    def affine_sparse(c):
+        return any(
+            isinstance(b, SparseComp)
+            or (not isinstance(b, IndexDomain)
+                and any(affine_sparse(a) for a in getattr(b, "args", ())))
+            for b, _ in c.terms)
+
+    return any(affine_sparse(c) for c in slot.comps)
+
+
+def analytic_domain_orders(groups, schedules, measured=None, log=None):
+    """COLD-START symbolic reorder for the heuristic (the analog of the
+    reference's reorder_for_coherence, thallo.t:5308-5325, which brings
+    domains unused by unknown accesses to the innermost iterator for
+    warp-coherent reductions).  On TPU the external order only picks the
+    row-major flattening of the residual domain — but that flattening
+    decides whether a sparse slot's flattened index array is
+    piecewise-repeat: with the slot's dependent domains LEADING the
+    order, idx[(d_dep)*prod(rest) + rest] repeats the same id across the
+    trailing block (one affine repeat box per element —
+    ops/structured.py lowers every hot gather to windowed slices at
+    init); with a dependent domain trailing, the ids interleave and
+    detection fails (the measured 31x ARAP gap, PERF.md).  So: prefer
+    the order where each sparse unknown slot's dependent domains form a
+    PREFIX, weighting slots by channel count.  Purely symbolic — needs
+    no measurement store; recorded measurements still take precedence
+    (select_measured_domain_orders)."""
+    out = []
+    for gp, sched in zip(groups, schedules):
+        g = gp.group
+        doms = list(g.ext_domains)
+        choice = None
+        if 2 <= len(doms) <= 3 and not getattr(g, "reordered", False):
+            slots = [s for s in list(g.uslots) + list(g.mslots)
+                     if _slot_is_sparse(s)]
+            deps = [(set(_slot_ext_deps(g, s)), s.image.channels)
+                    for s in slots]
+
+            def cost(order):
+                c = 0
+                for dset, w in deps:
+                    if not dset or len(dset) == len(order):
+                        continue  # order-independent
+                    if set(order[:len(dset)]) != dset:
+                        c += w  # dependent domains not leading: gather
+                return c
+
+            base = cost(doms)
+            best = base
+            for p in itertools.permutations(doms):
+                lp = list(p)
+                if lp == doms:
+                    continue
+                cp = cost(lp)
+                if cp < best:
+                    choice, best = lp, cp
+            if log is not None and choice is not None:
+                log.append(
+                    f"  {gp.name}: analytic reorder "
+                    + ">".join(_domain_labels(choice))
+                    + f" (sparse-slot prefix score {best} < {base})")
+        out.append(choice)
+    return out
+
+
+def choose_compute_at_output(groups, schedules, log=None):
+    """The reference's choose_compute_at_output (thallo.t:5273-5306):
+    when a group's JtJp stays unmaterialized AND every unknown's dims
+    equal the residual's full iteration domain (same Dims, same order),
+    iterate over OUTPUT elements instead of residuals — no inverse map,
+    fewer memory writes.  On TPU this choice is structurally subsumed:
+    such groups' accesses are pure grid offsets, their vjp transposes
+    lower to inverse rolls (lower.py _scatter roll plans), and the
+    'residual-wise' and 'output-wise' kernels are literally the same
+    XLA program — pinned by tests/test_schedule.py::
+    test_compute_at_output_rolls.  The chooser still runs so the
+    decision is made, recorded, and observable (gp.compute_at_output),
+    matching the reference's autoscheduler step 5."""
+    for gp, sched in zip(groups, schedules):
+        g = gp.group
+        cao = sched in (JTJpSchedule.INLINE, JTJpSchedule.LINEARIZE)
+        if cao:
+            for s in list(g.uslots):
+                dims = tuple(im for im in s.image.dims)
+                full = tuple(d.dim for d in g.ext_domains)
+                if dims != full:
+                    cao = False
+                    break
+        gp.compute_at_output = cao
+        if log is not None and cao:
+            log.append(f"  {gp.name}: compute_at_output (unknown dims == "
+                       "residual domain; lowers to inverse rolls)")
+    return [getattr(gp, "compute_at_output", False) for gp in groups]
+
+
 def select_measured_domain_orders(groups, schedules, log=None):
     """Measured-feedback reorder selection for the heuristic: per group,
     the external-domain order whose recorded timing (written by
