@@ -466,3 +466,33 @@ r.reg.JtJ.set_sparse(True)
                 "v0": new_v0, "v1": new_v1})
     ref = plan2.solve()
     assert np.isclose(final, ref, rtol=0.05), (final, ref)
+
+
+def test_q_stop_gated_by_routing_noise(monkeypatch):
+    """The zeta early-stop must not fire when the tolerance is below the
+    bf16-routing noise floor: un-gated, a spurious sub-tolerance zeta at
+    an early PCG iteration returns a weak delta that the trust region
+    rejects forever (measured on TPU: BA-250k stalled at the initial
+    cost with DEFAULT q_tolerance=1e-4; converged with f32 routing or
+    q_tolerance=-inf).  Forcing bf16 routing on CPU reproduces the
+    noisy-zeta regime; the gate must keep the solver converging at the
+    default tolerance."""
+    from thallo_tpu.models import bundle_adjustment as ba
+
+    monkeypatch.setenv("THALLO_ROUTING_DTYPE", "bf16")
+    inputs, _ = ba.synthetic_inputs(48, 4096, 4)
+    spec = ba.make_spec()
+    plan = spec.plan({"C": 48, "P": 4096, "O": len(inputs["oToC"])},
+                     solver="levenberg_marquardt")
+    plan.set_solver_parameter("nIterations", 10)
+    # DEFAULT q_tolerance (1e-4): unresolvable under bf16 routing
+    c0 = plan.init({k: np.copy(v) for k, v in inputs.items()})
+    final = plan.solve()
+    assert final < 1e-2 * c0, (c0, final)
+    # the noise floor is reported as such
+    st = plan.compiled
+    jac_store = {"0": {"bsr": object()}}
+    assert st._q_noise_floor(jac_store) == 2.0 ** -8
+    monkeypatch.setenv("THALLO_ROUTING_DTYPE", "f32")
+    assert st._q_noise_floor(jac_store) == 0.0
+    assert st._q_noise_floor({"0": {}}) == 0.0

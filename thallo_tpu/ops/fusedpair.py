@@ -288,6 +288,17 @@ def _pick_n_blk(W: int, Ci: int, Cj: int, S: int, N: int,
     return min(n, max(256, n_needed))
 
 
+def store_3d(W: int, Ci: int, Cj: int, S: int, N: int,
+             blk_bytes: int) -> bool:
+    """True when fused_pair_apply will take the 2-D-grid W-loop variant:
+    blocks should then be STORED [W, F, N] so the kernel's 3-D operand
+    needs no per-iteration relayout — the [W*F, N] -> [W, F, N] reshape
+    is not a bitcast for F % 8 != 0, and XLA re-lays the full block
+    arrays inside the PCG while-loop (measured ~4.6 ms/iter of async
+    copy/slice chains at skew-1M, trace r5)."""
+    return not (W <= 8 and _pick_n_blk(W, Ci, Cj, S, N, blk_bytes) > 0)
+
+
 # trace-time call counter (tests assert the fused path actually ran;
 # incremented when jit traces the wrapper, i.e. once per new shape)
 TRACE_COUNT = [0]
@@ -300,7 +311,9 @@ def fused_pair_apply(ids2d, blocks_wm, pcol, prow, *, Ci, Cj, S,
     """Both directions of a cross pair through one kernel.
 
     ids2d:     [W, N] int32 column ids (out-of-range = padded/dropped)
-    blocks_wm: [W*Ci*Cj, N] w-major edge blocks (bf16 or f32)
+    blocks_wm: [W*Ci*Cj, N] w-major edge blocks (bf16 or f32), or
+               [W, Ci*Cj, N] 3-D (the storage layout for W-loop levels,
+               see store_3d — avoids a per-iteration relayout)
     pcol:      [Cj, S] column-side operand
     prow:      [Ci, N] row-side operand
     Returns (rows [Ci, N] f32, cols [Cj, S] f32).
@@ -325,11 +338,12 @@ def fused_pair_apply(ids2d, blocks_wm, pcol, prow, *, Ci, Cj, S,
         jax.ShapeDtypeStruct((Ci, N), jnp.float32),
         jax.ShapeDtypeStruct(cols_shape, jnp.float32),
     ]
-    n_blk = _pick_n_blk(W, Ci, Cj, S, N, bb) if W <= 8 else 0
-    if n_blk > 0:
+    if not store_3d(W, Ci, Cj, S, N, bb):
         # unrolled w loop: best pipelining for the common low-degree
-        # levels (uniform BA W=4, base levels); n_blk == 0 means the
-        # level is too wide for the unrolled tile — use the 2-D grid
+        # levels (uniform BA W=4, base levels)
+        n_blk = _pick_n_blk(W, Ci, Cj, S, N, bb)
+        if blocks_wm.ndim == 3:  # legacy layout: flatten (relayout)
+            blocks_wm = blocks_wm.reshape(W * Ci * Cj, N)
         kern = functools.partial(_kernel, Ci=Ci, Cj=Cj, W=W, S=S, H=H,
                                  N=N, n_blk=n_blk)
         rows, cols = pl.pallas_call(
@@ -357,11 +371,14 @@ def fused_pair_apply(ids2d, blocks_wm, pcol, prow, *, Ci, Cj, S,
     else:
         # large W: 2-D grid (tile, w), one degree slot per program — W is
         # unbounded (skew tails reach W~700) and VMEM stays W-independent.
-        # ids/blocks reshape to 3-D so the w-blocked axis LEADS: the TPU
+        # ids/blocks are 3-D so the w-blocked axis LEADS: the TPU
         # lowering requires the last two block dims be (8,128)-divisible
         # or equal to the array dims, which (1, n_blk)/(F, n_blk) slices
-        # of the 2-D forms are not.
+        # of the 2-D forms are not.  Blocks arrive ALREADY 3-D from
+        # bsr_setup (store_3d) so no relayout exists inside the loop.
         F = Ci * Cj
+        if blocks_wm.ndim == 2:
+            blocks_wm = blocks_wm.reshape(W, F, N)
         n_blk = _pick_n_blk(1, Ci, Cj, S, N, bb)
         kern = functools.partial(_kernel_wloop, Ci=Ci, Cj=Cj, S=S, H=H,
                                  N=N, n_blk=n_blk)
@@ -387,7 +404,7 @@ def fused_pair_apply(ids2d, blocks_wm, pcol, prow, *, Ci, Cj, S,
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM(cols_shape, jnp.float32)],
             interpret=interpret,
-        )(ids2d.reshape(W, 1, N), blocks_wm.reshape(W, F, N),
+        )(ids2d.reshape(W, 1, N), blocks_wm,
           pcol_k, prow.astype(jnp.float32))
     if H:
         cols = cols.reshape(Cj, H * L)[:, :S]

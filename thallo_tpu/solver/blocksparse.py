@@ -673,8 +673,21 @@ def _oh_aggregate(parts, ids, n):
     of Precision.HIGHEST (safe here because bsr_setup consumes
     already-computed jacobians; nothing differentiates through it).
     bf16 parts (the per-PCG-step routing, already approximate by
-    explicit choice) keep the fast default path."""
+    explicit choice) keep the fast default path.
+
+    At BA-1M scale the XLA form's layout machinery dominates (the
+    [F, R] loop-transpose + the HBM-materialized [R, n] one-hot fed
+    three times); the fused pallas kernel (ops/ohsetup.py) owns both —
+    same 3-term-split numerics, one-hot only ever in VMEM."""
     if parts.dtype in (jnp.float32, jnp.float64):
+        from ..ops.ohsetup import (_mode as _ohs_mode, oh_setup_aggregate,
+                                   oh_setup_eligible)
+
+        F, R = parts.shape
+        if oh_setup_eligible(F, R, n, parts.dtype):
+            return oh_setup_aggregate(
+                parts, ids.astype(jnp.int32), N=n,
+                interpret=_ohs_mode() == "interpret")
         oh_dt = jnp.bfloat16 if parts.dtype == jnp.float32 else parts.dtype
         return dot_oh_exact(
             parts, _onehot_mat(ids, n, oh_dt), (((1,), (0,)), ((), ()))
@@ -751,10 +764,26 @@ def fused_pair_cols(bsr: GroupBsr, block_dtype, mesh=False) -> Dict[int, int]:
     return out
 
 
+def _fused_store_3d(bsr: GroupBsr, key: int, W: int, N_t: int,
+                    block_dtype, cur_dtype) -> bool:
+    """Whether this fused col pair's blocks store 3-D [W, F, N_t]
+    (fusedpair.store_3d: the W-loop kernel levels — avoids the
+    per-iteration [W*F, N] -> [W, F, N] relayout inside the PCG loop)."""
+    from ..ops.fusedpair import store_3d
+
+    pr = bsr.pairs[key]
+    i, j = pr[0], pr[1]
+    Ci, Cj = bsr.slot_channels[i], bsr.slot_channels[j]
+    S = int(np.prod(bsr.image_shapes[bsr.slot_images[j]][:-1]))
+    bb = jnp.dtype(block_dtype if block_dtype is not None
+                   else cur_dtype).itemsize
+    return store_3d(W, Ci, Cj, S, N_t, bb)
+
+
 def cross_block_4d(bsr: GroupBsr, fused: Dict[int, int], p_idx: int,
                    blk, Ca: int, Cb: int, W: int, N_t: int):
     """[Ca, Cb, W, N_t] view of a stored cross block regardless of its
-    storage order (fused pairs store w-major)."""
+    storage order (fused pairs store w-major, 2-D or 3-D)."""
     if p_idx in fused:
         return jnp.transpose(blk.reshape(W, Ca, Cb, N_t), (1, 2, 0, 3))
     return blk.reshape(Ca, Cb, W, N_t)
@@ -792,9 +821,12 @@ def _setup_base_cm(bsr, parts_list, specs, t, s0, jtr_out, d2_out,
             blocks[key] = gsum[off:off + width]  # [Ci*Cj, N] full precision
         else:  # cross pair on this (single) level
             if key in fused:
-                # w-major [d*Ci*Cj + f, n] (ops/fusedpair.py layout)
-                blk = jnp.transpose(part, (2, 0, 1)).reshape(
-                    W * width, N_t)
+                # w-major [d*Ci*Cj + f, n] (ops/fusedpair.py layout;
+                # 3-D for W-loop levels, fusedpair.store_3d)
+                blk = jnp.transpose(part, (2, 0, 1))
+                if not _fused_store_3d(bsr, key, W, N_t, block_dtype,
+                                       blk.dtype):
+                    blk = blk.reshape(W * width, N_t)
             else:
                 # channel-major [f*W + d, n] (XLA routing layout)
                 blk = jnp.transpose(part, (0, 2, 1)).reshape(
@@ -965,6 +997,7 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
         # (jtr/d2/diag blocks) sum across levels into full element order,
         # cross-pair blocks stay per level
         combined = None  # [N, agg_width + diag widths]
+        deferred_sc = []  # overflow-level (sel, gsum): merged scatter below
         levels = bsr.levels_of(base)
         # map each cross pair to its level table (via its col table)
         pair_level = {}
@@ -1028,8 +1061,10 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
             elif sel is None:
                 combined = combined + gsum
             else:
-                # overflow level: few high-degree elements, one tiny add
-                combined = combined.at[sel].add(gsum)
+                # overflow level: deferred, merged into ONE scatter after
+                # the level loop (each .at[sel].add rewrites the whole
+                # [N, F] buffer — ~150 MB at 1M obs; see bsr_apply)
+                deferred_sc.append((sel, gsum))
             # cross blocks from THIS level's gather
             off = 0
             for kind, key, width in specs:
@@ -1040,10 +1075,14 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
                         # degree-slot d is a contiguous [Ci*Cj, N_t]
                         # plane — the layout the fused pallas pair kernel
                         # slices (ops/fusedpair.py; Mosaic has no rank-3
-                        # reductions)
+                        # reductions).  W-loop levels store 3-D
+                        # [W, F, N_t] so the kernel operand needs no
+                        # per-iteration relayout (fusedpair.store_3d).
                         blk = jnp.transpose(
-                            g[:, :, off:off + width], (1, 2, 0)
-                        ).reshape(W * width, N_t)
+                            g[:, :, off:off + width], (1, 2, 0))
+                        if not _fused_store_3d(bsr, key, W, N_t,
+                                               block_dtype, blk.dtype):
+                            blk = blk.reshape(W * width, N_t)
                     else:
                         # channel-major [(ci*Cj+cj)*W+d, n]: aligns with
                         # pg [Cj, W, N_t] in the XLA apply path with no
@@ -1058,6 +1097,14 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
                         blk = blk.astype(block_dtype)
                     blocks[key] = blk
                 off += width
+        if deferred_sc:
+            if len(deferred_sc) == 1:
+                sel, gs = deferred_sc[0]
+                combined = combined.at[sel].add(gs)
+            else:
+                ids = jnp.concatenate([s for s, _ in deferred_sc])
+                ups = jnp.concatenate([g_ for _, g_ in deferred_sc], axis=0)
+                combined = combined.at[ids].add(ups)
         # aggregated outputs from the combined (full-order) sums
         off = 0
         for kind, key, width in specs:
@@ -1190,6 +1237,14 @@ def bsr_apply(bsr: GroupBsr, blocks, p, replicate=None):
             off += C
     out: Dict[str, jnp.ndarray] = {}
     acc: Dict[int, jnp.ndarray] = {}  # row slot -> [Ci, N] (full order)
+    # overflow-level contributions are DEFERRED and merged into ONE
+    # scatter per slot at the end: each .at[:, sel].add rewrites the
+    # whole [C, N] accumulator, and a skew scene carries several
+    # overflow levels — 4 separate scatters measured 0.72 ms of a
+    # 2.1 ms skew-1M PCG iteration (trace r5); merged, XLA pays the
+    # full-buffer rewrite once (duplicate ids across levels accumulate
+    # correctly in one scatter-add)
+    deferred: Dict[int, list] = {}
 
     def _add(i, contrib, sel=None):
         name = bsr.slot_images[i]
@@ -1199,7 +1254,7 @@ def bsr_apply(bsr: GroupBsr, blocks, p, replicate=None):
         if sel is None:
             acc[i] = acc[i] + contrib
         else:
-            acc[i] = acc[i].at[:, sel].add(contrib)
+            deferred.setdefault(i, []).append((sel, contrib))
 
     for p_idx, pr in enumerate(bsr.pairs):
         i, j = pr[0], pr[1]
@@ -1270,6 +1325,14 @@ def bsr_apply(bsr: GroupBsr, blocks, p, replicate=None):
             B = blk.reshape(Ci, Cj, W, N_t)
             contrib = jnp.sum(B * pg[pr[3]][None], axis=(1, 2))  # [Ci, N_t]
             _add(i, contrib, sel=bsr.row_sels[t])
+    for i, entries in deferred.items():
+        if len(entries) == 1:
+            sel, c = entries[0]
+            acc[i] = acc[i].at[:, sel].add(c)
+        else:
+            ids = jnp.concatenate([s for s, _ in entries])
+            ups = jnp.concatenate([c for _, c in entries], axis=1)
+            acc[i] = acc[i].at[:, ids].add(ups)
     for i, v in acc.items():
         name = bsr.slot_images[i]
         out[name] = out.get(name, 0) + v.T.reshape(bsr.image_shapes[name])

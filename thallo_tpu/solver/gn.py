@@ -1014,6 +1014,20 @@ class CompiledSolver:
             out[k] = state["pre"][k] * v if pb is None else self._block_apply(pb, v)
         return out
 
+    def _q_noise_floor(self, jac_store) -> float:
+        """Per-iteration relative noise the J^T J p routing injects into
+        the Q recurrence: 2^-8 when any block-sparse group routes its
+        per-step one-hot dots at bf16 (the explicit approximate-routing
+        contract, blocksparse._routing_dtype — also the fused pallas
+        pair kernel's operand dtype), 0 otherwise (exact matvec: the
+        reference's zeta semantics apply unmodified)."""
+        from .blocksparse import _routing_dtype
+
+        has_bsr = any("bsr" in (e or {}) for e in jac_store.values())
+        if has_bsr and _routing_dtype(np.dtype(self.dtype)) == jnp.bfloat16:
+            return 2.0 ** -8
+        return 0.0
+
     # -- Schur-complement reduced solve (beyond the reference) ---------------
     def _schur_partition(self, consts, jac_store):
         """(keep, elim) unknown-image names for linear_solver="schur_pcg",
@@ -1438,7 +1452,15 @@ class CompiledSolver:
             if self.uses_lambda:
                 Q1 = 0.5 * tree_dot(delta, tree_add(r, b))
                 zeta = (i + 1).astype(dtype) * (Q1 - Q0v) / Q1
-                stop_q = (~jnp.isfinite(Q1)) | (~jnp.isfinite(zeta)) | (zeta < sp.q_tolerance)
+                # routing-noise resolvability gate: see linear_solve.
+                # The reduced matvec is two bf16-routed applies, so the
+                # same spurious-stop failure hit schur_pcg at the
+                # bench's q_tolerance=0.0 (the r4 32k-schur
+                # time-to-target regression, 0.063 -> 0.286 s).
+                resolvable = (i + 1).astype(dtype) * q_noise
+                stop_q = ((~jnp.isfinite(Q1)) | (~jnp.isfinite(zeta))
+                          | ((zeta < sp.q_tolerance)
+                             & (sp.q_tolerance >= resolvable)))
             else:
                 Q1 = Q0v
                 stop_q = jnp.asarray(False)
@@ -1446,6 +1468,7 @@ class CompiledSolver:
             p = tree_add(z, tree_scale(p, beta))
             return (i + 1, delta, r, p, beta_num, Q1, stop_q)
 
+        q_noise = self._q_noise_floor(jac_store)
         init = (jnp.asarray(0, jnp.int32), delta0, r0, p0, alpha_num0, Q0,
                 jnp.asarray(False))
         _, delta_k, _, _, _, _, _ = jax.lax.while_loop(cond_fn, body_fn, init)
@@ -1540,7 +1563,20 @@ class CompiledSolver:
             if self.uses_lambda:
                 Q1 = 0.5 * tree_dot(delta, tree_add(r, b))
                 zeta = (i + 1).astype(dtype) * (Q1 - Q0v) / Q1
-                stop_q = (~jnp.isfinite(Q1)) | (~jnp.isfinite(zeta)) | (zeta < sp.q_tolerance)
+                # the zeta test only fires when the tolerance is
+                # RESOLVABLE above the routing-noise floor: with bf16
+                # routing the per-iteration Q increment carries ~2^-8
+                # relative noise, so zeta's noise alone is ~(i+1)*2^-8 —
+                # far above the 1e-4 default.  Un-gated, the spurious
+                # early stop returns a weak delta that the trust region
+                # rejects forever (measured: BA-250k stalls at c0 on TPU
+                # with default q_tolerance; converges with f32 routing
+                # or q_tolerance=-inf).  f32 routing: floor 0, reference
+                # semantics exactly (gauss_newton.t:1666-1686).
+                resolvable = (i + 1).astype(dtype) * q_noise
+                stop_q = ((~jnp.isfinite(Q1)) | (~jnp.isfinite(zeta))
+                          | ((zeta < sp.q_tolerance)
+                             & (sp.q_tolerance >= resolvable)))
             else:
                 Q1 = Q0v
                 stop_q = jnp.asarray(False)
@@ -1548,6 +1584,7 @@ class CompiledSolver:
             p = tree_add(z, tree_scale(p, beta))
             return (i + 1, delta, r, p, beta_num, Q1, stop_q)
 
+        q_noise = self._q_noise_floor(jac_store)
         init = (jnp.asarray(0, jnp.int32), delta0, r0, p0, alpha_num0, Q0, jnp.asarray(False))
         _, delta, _, _, _, _, _ = jax.lax.while_loop(cond_fn, body_fn, init)
         return tree_mul(delta, self._bmask(masks))
