@@ -496,3 +496,12 @@ def test_q_stop_gated_by_routing_noise(monkeypatch):
     monkeypatch.setenv("THALLO_ROUTING_DTYPE", "f32")
     assert st._q_noise_floor(jac_store) == 0.0
     assert st._q_noise_floor({"0": {}}) == 0.0
+
+
+def test_unknown_solver_kind_rejected():
+    spec = tl.load_energy(LAPLACIAN)
+    with pytest.raises(ValueError, match="unknown solver"):
+        spec.plan({"W": 8, "H": 8}, solver="nope")
+    # reference-named aliases plan fine
+    for alias in ("gaussNewtonGPU", "LMGPU", "GN", "LM"):
+        spec.plan({"W": 8, "H": 8}, solver=alias)

@@ -4,6 +4,7 @@ from . import arap_mesh_deformation  # noqa: F401
 from . import bundle_adjustment  # noqa: F401
 from . import bundle_fusion  # noqa: F401
 from . import cotangent_mesh_smoothing  # noqa: F401
+from . import deconvolution  # noqa: F401
 from . import embedded_mesh_deformation  # noqa: F401
 from . import face_fitting  # noqa: F401
 from . import image_warping  # noqa: F401
@@ -31,6 +32,7 @@ REGISTRY = {
     "cotangent_mesh_smoothing": cotangent_mesh_smoothing,
     "optical_flow": optical_flow,
     "spatially_varying_deconvolution": spatially_varying_deconvolution,
+    "deconvolution": deconvolution,
     "face_fitting": face_fitting,
     "shape_from_shading": shape_from_shading,
     "shape_and_shading": shape_and_shading,

@@ -68,6 +68,13 @@ class Plan:
         self.spec = spec
         self.solver_kind = solver
         uses_lambda = solver in ("levenberg_marquardt", "LM", "lm", "LMGPU")
+        if not uses_lambda and solver not in (
+                "gauss_newton", "GN", "gn", "gaussNewtonGPU"):
+            # the reference errors on unknown solver kinds at makePlan
+            # (Thallo.h Thallo_ProblemPlan; thallo.t solver dispatch)
+            raise ValueError(
+                f"unknown solver {solver!r}: expected 'gauss_newton' or "
+                "'levenberg_marquardt' (aliases GN/gaussNewtonGPU, LM/LMGPU)")
         self.dtype = jnp.float64 if spec.double_precision else jnp.float32
         if spec.double_precision:
             # NOTE process-wide: x64 must be on for f64 arrays to exist at
