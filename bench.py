@@ -92,7 +92,7 @@ def _cold_restart(plan, c0):
 
 
 def bench_ba_time_to_target(n_cameras, n_points, obs_per_point=4,
-                            l_iters=16, **plan_opts):
+                            l_iters=16, skew=False, **plan_opts):
     """Time-to-target only, for solver-variant comparisons (e.g.
     linear_solver=\"schur_pcg\": the reduced camera system needs far
     fewer linear iterations per outer step, at two matvecs each — the
@@ -101,8 +101,14 @@ def bench_ba_time_to_target(n_cameras, n_points, obs_per_point=4,
     different linear solvers)."""
     from thallo_tpu.models import bundle_adjustment as ba
 
-    inputs, _ = ba.synthetic_inputs(
-        n_cameras=n_cameras, n_points=n_points, obs_per_point=obs_per_point)
+    if skew:
+        inputs, _ = ba.skewed_inputs(
+            n_cameras=n_cameras, n_points=n_points,
+            target_obs=obs_per_point * n_points)
+    else:
+        inputs, _ = ba.synthetic_inputs(
+            n_cameras=n_cameras, n_points=n_points,
+            obs_per_point=obs_per_point)
     O = len(inputs["oToC"])
     spec = ba.make_spec()
     plan = spec.plan({"C": n_cameras, "P": n_points, "O": O},
@@ -430,6 +436,10 @@ def main():
         # Schur-reduced solvers (points eliminated per outer step) are
         # the structurally right tool at this scale
         ("bundle_adjustment_1m", dict(n_cameras=1024, n_points=250000)),
+        # skewed scenes are Schur's raison d'etre (PERF.md round 3):
+        # the eliminated point system absorbs the degree skew
+        ("bundle_adjustment_skew1m", dict(n_cameras=1024, n_points=250000,
+                                          skew=True)),
     ):
         try:
             tt, _ = bench_ba_time_to_target(

@@ -698,6 +698,51 @@ def _oh_aggregate(parts, ids, n):
         preferred_element_type=jnp.float32).astype(parts.dtype)
 
 
+def _oh_products_fused(bsr, entries, jTs, rT, slot, n, dtype):
+    """One-hot row-mode setup via the in-kernel PRODUCTS pallas kernel
+    (ops/ohsetup.oh_setup_products): jtr/d2/eblock slabs computed in
+    VMEM from the channel-major jacobian slots and aggregated against
+    an in-VMEM one-hot — the [F, R] parts, the [Ci*Cj, R] outer
+    products and the [R, n] one-hot never reach HBM (~8 ms + 1.3 GB of
+    traffic of the BA-1M fixed step, trace r5).  The XLA parts these
+    replace are left unconsumed — DCE removes them.  Returns None when
+    ineligible (caller falls back to _oh_aggregate)."""
+    if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+        return None
+    from ..ops.ohsetup import (_mode as _ohs_mode, oh_products_eligible,
+                               oh_setup_products)
+
+    rc, R = rT.shape
+    slot_list: list = []
+    for kind, key, width, _ in entries:
+        ss = ((bsr.pairs[key][0], bsr.pairs[key][1]) if kind == "pair"
+              else (key,))
+        for s in ss:
+            if s not in slot_list:
+                slot_list.append(s)
+    offs, K = {}, 0
+    for s in slot_list:
+        offs[s] = K
+        K += rc * bsr.slot_channels[s]
+    recipe, F = [], 0
+    for kind, key, width, _ in entries:
+        if kind in ("jtr", "d2"):
+            recipe.append((kind, offs[key], bsr.slot_channels[key]))
+        else:
+            a, b = bsr.pairs[key][0], bsr.pairs[key][1]
+            recipe.append(("pair", offs[a], bsr.slot_channels[a],
+                           offs[b], bsr.slot_channels[b]))
+        F += width
+    if not oh_products_eligible(F, K, R, n, dtype):
+        return None
+    Jall = jnp.concatenate(
+        [jTs[s].reshape(rc * bsr.slot_channels[s], R) for s in slot_list],
+        axis=0)
+    return oh_setup_products(
+        rT, Jall, bsr.oh_idxs[slot].astype(jnp.int32), N=n,
+        recipe=tuple(recipe), interpret=_ohs_mode() == "interpret")
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class BsrBlocks:
@@ -789,8 +834,82 @@ def cross_block_4d(bsr: GroupBsr, fused: Dict[int, int], p_idx: int,
     return blk.reshape(Ca, Cb, W, N_t)
 
 
+def _setup_fullrepeat_fused(bsr, specs, t, s0, jtr_out, d2_out,
+                            blocks, fused, block_dtype, jTs, rT):
+    """Single-pass pallas setup for a full-repeat level
+    (ops/fullrepeat.py): per-w element-order products via a resident
+    one-hot layout matrix on the MXU — the [*, N, W] -> [*, W, N]
+    transpose-copies and w-sum relayouts of the XLA path (~13 ms of
+    the BA uniform-1M fixed step, trace r5) never exist.  Returns False
+    when ineligible (caller keeps the XLA channel-major path)."""
+    from ..ops.fullrepeat import (_mode as _fr_mode, fullrepeat_eligible,
+                                  fullrepeat_setup)
+
+    perm = bsr.perms[t]
+    N_t, W = perm.shape
+    rc = rT.shape[0]
+    slot_list: list = []
+    for kind, key, width in specs:
+        if kind == "pair":
+            pr = bsr.pairs[key]
+            if pr[2] != "diag" and key not in fused:
+                return False  # XLA routing layout wanted: keep XLA path
+            ss = (pr[0], pr[1])
+        else:
+            ss = (key,)
+        for s in ss:
+            if s not in slot_list:
+                slot_list.append(s)
+    offs, Kall = {}, 0
+    for s in slot_list:
+        offs[s] = Kall
+        Kall += rc * bsr.slot_channels[s]
+    if not fullrepeat_eligible(W, N_t, Kall, rc, rT.dtype):
+        return False
+    recipe, n_cross, cross_keys = [], 0, []
+    for kind, key, width in specs:
+        if kind in ("jtr", "d2"):
+            recipe.append((kind, offs[key], bsr.slot_channels[key]))
+        else:
+            a, b = bsr.pairs[key][0], bsr.pairs[key][1]
+            ca, cb = bsr.slot_channels[a], bsr.slot_channels[b]
+            if bsr.pairs[key][2] == "diag":
+                recipe.append(("diag", offs[a], ca, offs[b], cb))
+            else:
+                recipe.append(("cross", offs[a], ca, offs[b], cb, n_cross))
+                cross_keys.append(key)
+                n_cross += 1
+    R = rT.shape[1]
+    sl = lambda x: jax.lax.slice_in_dim(x, s0, s0 + N_t * W, axis=1)  # noqa: E731
+    Jall_win = jnp.concatenate(
+        [sl(jTs[s].reshape(rc * bsr.slot_channels[s], R))
+         for s in slot_list], axis=0)
+    agg, crosses = fullrepeat_setup(
+        sl(rT), Jall_win, W=W, N_t=N_t, recipe=tuple(recipe),
+        interpret=_fr_mode() == "interpret")
+    off = 0
+    for kind, key, width in specs:
+        if kind in ("jtr", "d2"):
+            name = bsr.slot_images[key]
+            out = jtr_out if kind == "jtr" else d2_out
+            out[name] = out.get(name, 0) + agg[off:off + width].T.reshape(
+                bsr.image_shapes[name])
+            off += width
+        elif bsr.pairs[key][2] == "diag":
+            blocks[key] = agg[off:off + width]  # [Ci*Cj, N] full precision
+            off += width
+        else:
+            blk = crosses[cross_keys.index(key)]  # [W*Ci*Cj, N_t] w-major
+            if _fused_store_3d(bsr, key, W, N_t, block_dtype, blk.dtype):
+                blk = blk.reshape(W, width, N_t)
+            if block_dtype is not None:
+                blk = blk.astype(block_dtype)
+            blocks[key] = blk
+    return True
+
+
 def _setup_base_cm(bsr, parts_list, specs, t, s0, jtr_out, d2_out,
-                   blocks, fused, block_dtype):
+                   blocks, fused, block_dtype, jTs=None, rT=None):
     """Channel-major assembly for a single full-repeat level: the whole
     [N_t, W, F] 'gather' is a contiguous window of the channel-major
     payload [F, R], read as [F, N_t, W] with zero per-index cost AND
@@ -800,6 +919,10 @@ def _setup_base_cm(bsr, parts_list, specs, t, s0, jtr_out, d2_out,
     loop-transpose the general path needs)."""
     perm, mask = bsr.perms[t], bsr.masks[t]
     N_t, W = perm.shape
+    if jTs is not None and rT is not None and _setup_fullrepeat_fused(
+            bsr, specs, t, s0, jtr_out, d2_out, blocks, fused,
+            block_dtype, jTs, rT):
+        return
     payload_cm = jnp.concatenate(parts_list, axis=0)  # [F, R]
     F = payload_cm.shape[0]
     win = jax.lax.slice_in_dim(payload_cm, s0, s0 + N_t * W, axis=1)
@@ -912,8 +1035,10 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
     for i, entries in oh_groups.items():
         name_i = bsr.slot_images[i]
         N = int(np.prod(bsr.image_shapes[name_i][:-1]))
-        parts = jnp.concatenate([p for _, _, _, p in entries], axis=0)
-        agg = _oh_aggregate(parts, bsr.oh_idxs[i], N)  # [F, N]
+        agg = _oh_products_fused(bsr, entries, jTs, rT, i, N, dtype)
+        if agg is None:
+            parts = jnp.concatenate([p for _, _, _, p in entries], axis=0)
+            agg = _oh_aggregate(parts, bsr.oh_idxs[i], N)  # [F, N]
         off = 0
         for kind, key, width, _ in entries:
             v = agg[off:off + width]
@@ -972,7 +1097,8 @@ def bsr_setup(bsr: GroupBsr, r, jacs, dtype, block_dtype=None,
                         plans0, N_t0, W0):
                     _setup_base_cm(bsr, parts_list, payload_specs[base],
                                    t0, plans0[0][3], jtr_out, d2_out,
-                                   blocks, fused, block_dtype)
+                                   blocks, fused, block_dtype,
+                                   jTs=jTs, rT=rT)
                     cm_done = True
         if cm_done:
             continue
@@ -1325,15 +1451,22 @@ def bsr_apply(bsr: GroupBsr, blocks, p, replicate=None):
             B = blk.reshape(Ci, Cj, W, N_t)
             contrib = jnp.sum(B * pg[pr[3]][None], axis=(1, 2))  # [Ci, N_t]
             _add(i, contrib, sel=bsr.row_sels[t])
-    for i, entries in deferred.items():
-        if len(entries) == 1:
-            sel, c = entries[0]
-            acc[i] = acc[i].at[:, sel].add(c)
-        else:
-            ids = jnp.concatenate([s for s, _ in entries])
-            ups = jnp.concatenate([c for _, c in entries], axis=1)
-            acc[i] = acc[i].at[:, ids].add(ups)
     for i, v in acc.items():
         name = bsr.slot_images[i]
-        out[name] = out.get(name, 0) + v.T.reshape(bsr.image_shapes[name])
+        vt = v.T  # [N, C] row-major (the image layout)
+        # overflow-level contributions merge HERE, post-transpose: a
+        # row scatter-add on the [N, C] form is row-granular, where the
+        # channel-major .at[:, sel].add scatters on the 128-lane minor
+        # axis (measured 1.12 ms/iter of the skew-1M PCG body, trace
+        # r5 — the lane-axis scatter was the single hottest loop op)
+        ents = deferred.pop(i, [])
+        if ents:
+            if len(ents) == 1:
+                sel, c = ents[0]
+                vt = vt.at[sel].add(c.T)
+            else:
+                ids = jnp.concatenate([s for s, _ in ents])
+                ups = jnp.concatenate([c for _, c in ents], axis=1)
+                vt = vt.at[ids].add(ups.T)
+        out[name] = out.get(name, 0) + vt.reshape(bsr.image_shapes[name])
     return out
