@@ -404,10 +404,10 @@ def main():
                                             skew=True)),
         # BAL-scale: real problems run 100k-5M observations
         ("bundle_adjustment_1m", dict(n_cameras=1024, n_points=250000,
-                                      n_steps=8, scan_k=4, reps=1,
+                                      n_steps=16, scan_k=8, reps=1,
                                       measure_warm=True)),
         ("bundle_adjustment_skew1m", dict(n_cameras=1024, n_points=250000,
-                                          n_steps=8, scan_k=4, reps=1,
+                                          n_steps=16, scan_k=8, reps=1,
                                           skew=True)),
     ):
         try:
@@ -442,9 +442,20 @@ def main():
                                           skew=True)),
     ):
         try:
-            tt, _ = bench_ba_time_to_target(
-                linear_solver="schur_pcg", **kw)
+            # each variant at its best inner budget (the reduced camera
+            # system is far better conditioned than the full normal
+            # equations, so its natural lIterations is small; the
+            # reference tunes lIterations per app the same way).  Plain
+            # PCG gets the SAME sweep — the schur-vs-pcg comparison is
+            # best-vs-best, not tuned-vs-default.
+            tt = min(bench_ba_time_to_target(
+                linear_solver="schur_pcg", l_iters=li, **kw)[0]
+                for li in (4, 16))
             extra[f"{name}_schur_time_to_target_s"] = round(tt, 4)
+            tt = min(bench_ba_time_to_target(
+                linear_solver="pcg", l_iters=li, **kw)[0]
+                for li in (4, 16))
+            extra[f"{name}_pcg_best_time_to_target_s"] = round(tt, 4)
         except Exception as e:  # noqa: BLE001
             extra[f"{name}_schur_error"] = str(e)[:120]
         try:
