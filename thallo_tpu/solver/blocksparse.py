@@ -1451,15 +1451,21 @@ def bsr_apply(bsr: GroupBsr, blocks, p, replicate=None):
             B = blk.reshape(Ci, Cj, W, N_t)
             contrib = jnp.sum(B * pg[pr[3]][None], axis=(1, 2))  # [Ci, N_t]
             _add(i, contrib, sel=bsr.row_sels[t])
+    merge_mode = os.environ.get("THALLO_MERGE_SCATTER", "1")
     for i, v in acc.items():
         name = bsr.slot_images[i]
-        vt = v.T  # [N, C] row-major (the image layout)
-        # overflow-level contributions merge HERE, post-transpose: a
-        # row scatter-add on the [N, C] form is row-granular, where the
-        # channel-major .at[:, sel].add scatters on the 128-lane minor
-        # axis (measured 1.12 ms/iter of the skew-1M PCG body, trace
-        # r5 — the lane-axis scatter was the single hottest loop op)
         ents = deferred.pop(i, [])
+        # overflow-level contribution merge: ONE row-granular scatter
+        # on the post-transpose [N, C] form.  Measured A/B on v5e
+        # (skew-250k marginal, 2026-08-20): merged 0.97 ms/iter vs
+        # per-level lane scatters 1.35 — merged wins at both 250k and
+        # 1M (6.74 -> 5.39 there).  THALLO_MERGE_SCATTER=0 restores
+        # the per-level form for experiments.
+        if ents and merge_mode == "0":
+            for sel, c in ents:
+                v = v.at[:, sel].add(c)
+            ents = []
+        vt = v.T  # [N, C] row-major (the image layout)
         if ents:
             if len(ents) == 1:
                 sel, c = ents[0]
