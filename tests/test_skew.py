@@ -262,3 +262,19 @@ def test_skewed_schur_matches_direct():
     assert err_dense < 0.03, err_dense
     # the conditioning win: full-system PCG is far further away
     assert err_pcg > 3 * err_schur, (err_pcg, err_schur)
+
+
+def test_overflow_merge_forms_match(monkeypatch):
+    """Both overflow-merge strategies (merged row scatter, the measured
+    default, vs per-level lane scatters, THALLO_MERGE_SCATTER=0) produce
+    the same J^T J p on a skewed scene."""
+    ins, sizes = _skewed_ba()
+    outs = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("THALLO_MERGE_SCATTER", mode)
+        plan = _forced_sparse_plan(sizes)
+        plan.init({k: np.copy(v) for k, v in ins.items()})
+        plan.set_solver_parameter("nIterations", 3)
+        outs[mode] = plan.solve()
+    assert np.isfinite(outs["1"])
+    np.testing.assert_allclose(outs["1"], outs["0"], rtol=1e-5)
