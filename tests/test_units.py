@@ -227,3 +227,27 @@ def test_cli_runs_a_model(capsys):
                      "--verbosity", "0"]) == 0
     out = capsys.readouterr().out
     assert "procrustes_alignment" in out and "| Event |" in out
+
+
+def test_gather_onehot_two_digit_expand():
+    """S > 256 routes gather_with_onehot_transpose through the two-digit
+    decomposition — must stay bit-exact with the take gather and keep
+    its AD transpose (the one-hot segment sum) and vmap batching."""
+    import jax
+
+    from thallo_tpu.ops.segsum import gather_with_onehot_transpose
+
+    rng = np.random.RandomState(3)
+    S, R, C = 777, 3000, 4  # odd S: exercises the padded top digit
+    src = jnp.asarray(rng.randn(S, C).astype(np.float32) * 50)
+    idx = jnp.asarray(rng.randint(0, S, R).astype(np.int32))
+    out = gather_with_onehot_transpose(src, idx, S)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(src)[np.asarray(idx)])
+    g = jax.grad(lambda s: gather_with_onehot_transpose(s, idx, S).sum())(src)
+    cnt = np.bincount(np.asarray(idx), minlength=S).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(g), np.tile(cnt[:, None], (1, C)),
+                               rtol=1e-6)
+    vb = jax.vmap(lambda s: gather_with_onehot_transpose(s, idx, S))(
+        jnp.stack([src, 2 * src]))
+    assert vb.shape == (2, R, C)

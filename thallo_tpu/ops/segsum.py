@@ -156,20 +156,58 @@ def onehot_segment_sum(data: jnp.ndarray, ids: jnp.ndarray, num_segments: int) -
     )
 
 
+_EXPAND_L = 128  # low-digit radix: one MXU contraction tile
+
+
 def gather_with_onehot_transpose(src, idx, num_segments):
     """Gather src[idx] expressed as a dense one-hot matmul, so XLA's OWN
     transpose is the one-hot segment sum (no custom primitive: fully
     vmappable/batchable, unlike linear_call which has no batching rule —
-    caught by the lowering fuzzer)."""
-    onehot = (
-        idx[:, None] == jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], num_segments), 1)
+    caught by the lowering fuzzer).
+
+    For S > 256 the one-hot decomposes into two digits (hi = idx // 128,
+    lo = idx % 128): the expand contracts a DENSE K=128 one-hot against
+    the [128, H*C] reshaped source and an H-way hi-digit mask selects
+    the right slab.  Selection stays exact (each (hi, lo) pair picks
+    one source row; HIGHEST precision on the K=128 dot), AD/vmap keep
+    working (plain XLA ops), and the compare generation drops from
+    R*S to R*(128 + H) — the [1M, 1024] iota-compare + dot measured
+    5.8 ms of the BA uniform-1M fixed step (trace r5, fusion.18/19);
+    the same decomposition in the fused pair kernel measured ~1.35x
+    (artifacts/tpu_decomp.jsonl)."""
+    R = idx.shape[0]
+    S = num_segments
+    if S <= 2 * _EXPAND_L or src.ndim != 2:
+        onehot = (
+            idx[:, None] == jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
+        ).astype(src.dtype)
+        return jax.lax.dot_general(
+            onehot,
+            src,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    L = _EXPAND_L
+    H = -(-S // L)
+    C = src.shape[1]
+    pad = H * L - S
+    srcp = jnp.pad(src, ((0, pad), (0, 0))) if pad else src
+    # [L, H*C]: row lo holds every hi's channels for that low digit
+    src_lh = jnp.transpose(srcp.reshape(H, L, C), (1, 0, 2)).reshape(
+        L, H * C)
+    lo = idx % L
+    hi = idx // L
+    oh_lo = (
+        lo[:, None] == jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
     ).astype(src.dtype)
-    return jax.lax.dot_general(
-        onehot,
-        src,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    a = jax.lax.dot_general(
+        oh_lo, src_lh, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)  # [R, H*C]
+    a = a.reshape(R, H, C)
+    mask = (
+        hi[:, None] == jax.lax.broadcasted_iota(jnp.int32, (R, H), 1)
+    ).astype(src.dtype)
+    return jnp.sum(a * mask[:, :, None], axis=1)  # [R, C]
 
 
 def minor_gather_onehot(cat: jnp.ndarray, idx: jnp.ndarray, n_src: int) -> jnp.ndarray:
